@@ -1,0 +1,105 @@
+"""Naive O(Q*T) edit-distance oracle for differential testing.
+
+Reproduces the semantics of the reference's test oracle
+(reference: /root/reference/test/SimpleEditDistance.h:24-106): rolling
+one-column DP for all three modes, returning the best score plus the full
+ordered set of 0-based end positions in the target that achieve it.
+
+Vectorized over the query dimension with a cumulative-min scan for the
+vertical (gap) recurrence, so tests can afford multi-thousand-length
+differential cases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def simple_edit_distance(query, target, mode="NW"):
+    """Return (score, positions) like the reference oracle.
+
+    query/target may be str, bytes, or integer sequences.
+    positions are 0-based end columns in target; empty-sequence cases
+    follow reference edlib.cpp:165-184 (NW: end = tlen-1; HW/SHW: end=-1).
+    """
+    q = _codes(query)
+    t = _codes(target)
+    qlen, tlen = len(q), len(t)
+
+    if qlen == 0 or tlen == 0:
+        if mode == "NW":
+            return max(qlen, tlen), [tlen - 1]
+        return qlen, [-1]
+
+    idx = np.arange(qlen, dtype=np.int64)
+    col = idx + 1  # column 0 boundary: D[i][-1] = i+1
+    best = -1
+    positions: list = []
+    for c in range(tlen):
+        neq = (q != t[c]).astype(np.int64)
+        top = 0 if mode == "HW" else c + 1          # boundary above row 0
+        ul_boundary = 0 if mode == "HW" else c       # boundary diag for row 0
+        diag = np.empty(qlen, dtype=np.int64)
+        diag[0] = ul_boundary + neq[0]
+        if qlen > 1:
+            diag[1:] = col[:-1] + neq[1:]
+        v = np.minimum(diag, col + 1)                # diag & left terms
+        v[0] = min(v[0], top + 1)                    # vertical from boundary
+        # vertical within the column: newC[r] = min_{s<=r}(v[s] + (r-s))
+        col = np.minimum.accumulate(v - idx) + idx
+
+        if mode != "NW" or c == tlen - 1:
+            score = int(col[-1])
+            if best == -1 or score <= best:
+                if score < best:
+                    positions = []
+                best = score
+                positions.append(c)
+    return best, positions
+
+
+def _codes(seq):
+    if isinstance(seq, str):
+        return np.frombuffer(seq.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if isinstance(seq, (bytes, bytearray)):
+        return np.frombuffer(bytes(seq), dtype=np.uint8).astype(np.int64)
+    return np.asarray(list(seq), dtype=np.int64)
+
+
+def check_alignment(query, target, path, start_location, mode):
+    """Replay a move-code path against both sequences and recompute its
+    score; also verify a path never claims a false (mis)match.
+
+    Port of the reference validity checker semantics
+    (test/runTests.cpp:592-641): HW leading deletions are free; returns
+    the recomputed score or raises AssertionError on an invalid path.
+    """
+    from .kernel import OP_DELETE, OP_INSERT, OP_MATCH, OP_MISMATCH
+
+    q = _codes(query)
+    t = _codes(target)
+    qpos = 0
+    tpos = start_location
+    score = 0
+    for i, mv in enumerate(path):
+        if mv == OP_MATCH:
+            assert q[qpos] == t[tpos], "false match in path"
+            qpos += 1
+            tpos += 1
+        elif mv == OP_MISMATCH:
+            assert q[qpos] != t[tpos], "false mismatch in path"
+            qpos += 1
+            tpos += 1
+            score += 1
+        elif mv == OP_INSERT:
+            qpos += 1
+            score += 1
+        elif mv == OP_DELETE:
+            free = mode == "HW" and (qpos == 0)  # leading target gap is free in HW
+            if not free:
+                score += 1
+            tpos += 1
+        else:
+            raise AssertionError(f"bad move code {mv}")
+    assert qpos == len(q), "path does not consume the whole query"
+    return score
