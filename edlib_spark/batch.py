@@ -1,0 +1,341 @@
+"""Batch-vectorized Myers edit-distance kernel (the Arrow hot path).
+
+Computes NW / SHW / HW edit distances for a whole Arrow batch of
+(query, target) string pairs at once: the Myers bit-vector column step
+(semantics of reference /root/reference/edlib/src/edlib.cpp:399-447) is
+applied to numpy uint64 *vectors across pairs* — axis 0 is the pair,
+axis 1 the 64-row block — so per-column Python overhead is amortized over
+hundreds/thousands of pairs.  This is the "batched columnar Levenshtein
+kernel, no per-row Python" the pipeline scorer runs inside a pandas UDF.
+
+Key properties:
+  * exact same results as ``edlib_spark.kernel.align`` (differentially
+    tested) — distance d, or -1 when d > k;
+  * per-pair k bound (the pipeline uses k = ceil(tau * max_len));
+  * k-bounded early exit: pairs whose best achievable final score already
+    exceeds k drop out of the batch loop (vector analogue of the
+    reference band-death exit, edlib.cpp:644-654 / 873-878);
+  * pairs are processed in (num_blocks, target_length)-sorted chunks so
+    column padding waste stays small — callers should additionally sort
+    Spark partitions by length (see pipeline.scoring).
+
+The reference's per-pair Ukkonen block banding (edlib.cpp:559-562,
+751-755) is intentionally NOT replicated per pair here: with a shared
+band the vector lanes would diverge.  The k < |tlen-qlen| shortcut is
+lifted to a Catalyst predicate before the UDF (edlib.cpp:744-747), and
+the column-level early exit covers the rest.  Block-level shared banding
+is a planned optimization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+WORD = 64
+_U1 = np.uint64(1)
+_UALL = np.uint64(0xFFFFFFFFFFFFFFFF)
+_U63 = np.uint64(63)
+_POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+# chunk sizing: bound Peq memory (N * sigma * B * 8 bytes)
+_PEQ_BYTES_BUDGET = 256 << 20
+_MIN_CHUNK = 64
+_MAX_CHUNK = 8192
+
+
+def _popcnt(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy<2 lacks bitwise_count)."""
+    return _POP[np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)].sum(
+        axis=1).astype(np.int64)
+
+
+def encode_strings(strings) -> tuple[list, np.ndarray]:
+    """Encode an iterable of str into codepoint arrays + lengths."""
+    codes = []
+    lens = np.empty(len(strings), dtype=np.int64)
+    for i, s in enumerate(strings):
+        if s is None:
+            s = ""
+        a = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        codes.append(a)
+        lens[i] = len(a)
+    return codes, lens
+
+
+def batch_edit_distance(queries, targets, mode: str = "NW", k=-1):
+    """Edit distances for N (query, target) pairs; -1 where distance > k.
+
+    ``queries``/``targets``: sequences of str (None treated as "").
+    ``k``: scalar or array of per-pair bounds; negative = unbounded.
+    Returns an int32 array of length N.
+    """
+    if mode not in ("NW", "SHW", "HW"):
+        raise ValueError(f"invalid mode {mode!r}")
+    n = len(queries)
+    if len(targets) != n:
+        raise ValueError("queries and targets must have equal length")
+    out = np.full(n, -1, dtype=np.int32)
+    if n == 0:
+        return out
+
+    q_codes, q_lens = encode_strings(queries)
+    t_codes, t_lens = encode_strings(targets)
+    k_arr = np.broadcast_to(np.asarray(k, dtype=np.int64), (n,)).copy()
+
+    # unbounded => cap at the largest possible distance for the mode
+    unb = k_arr < 0
+    if mode == "NW":
+        k_arr[unb] = np.maximum(q_lens, t_lens)[unb]
+    else:
+        k_arr[unb] = q_lens[unb]
+    if mode == "HW":  # solution never exceeds qlen (edlib.cpp:566-568)
+        k_arr = np.minimum(k_arr, q_lens)
+
+    # ---- empty-sequence short circuit (edlib.cpp:165-184) ----
+    empty = (q_lens == 0) | (t_lens == 0)
+    if empty.any():
+        if mode == "NW":
+            d = np.maximum(q_lens, t_lens)
+        else:
+            d = q_lens.copy()
+        ok = empty & (d <= k_arr)
+        out[ok] = d[ok].astype(np.int32)
+
+    todo = np.nonzero(~empty)[0]
+    if mode == "NW":
+        # k < |tlen - qlen| shortcut (edlib.cpp:744-747)
+        feasible = np.abs(t_lens - q_lens)[todo] <= k_arr[todo]
+        todo = todo[feasible]
+    if len(todo) == 0:
+        return out
+
+    # global recode to a dense alphabet for this batch
+    all_codes = np.concatenate(
+        [q_codes[i] for i in todo] + [t_codes[i] for i in todo])
+    alphabet = np.unique(all_codes)
+
+    # order by (num_blocks, target_length); bucket nearby block counts
+    # together (padding queries up to the bucket max) so chunks stay big
+    # enough to amortize per-column numpy overhead.
+    nb = (q_lens[todo] + WORD - 1) // WORD
+    order = np.lexsort((t_lens[todo], nb))
+    todo = todo[order]
+    nb = nb[order]
+
+    pos = 0
+    while pos < len(todo):
+        b_cap = max(int(nb[pos]) + 1, int(nb[pos] * 1.3))
+        end = pos
+        while end < len(todo) and nb[end] <= b_cap:
+            end += 1
+        b = int(nb[end - 1])  # pad width for the bucket
+        # within a bucket block counts are padded equal, so re-sort purely
+        # by tlen: the chunk scanner's done-pointer requires tlen ascending
+        bucket = todo[pos:end]
+        bucket = bucket[np.argsort(t_lens[bucket], kind="stable")]
+        todo[pos:end] = bucket
+        # memory-bounded sub-chunks (tlen-sorted within the bucket)
+        sigma = len(alphabet)
+        max_chunk = max(_MIN_CHUNK,
+                        min(_MAX_CHUNK,
+                            _PEQ_BYTES_BUDGET // max(1, sigma * b * 8)))
+        while pos < end:
+            sub = todo[pos:min(end, pos + max_chunk)]
+            _chunk_distance(sub, q_codes, t_codes, q_lens, t_lens, k_arr,
+                            alphabet, b, mode, out)
+            pos += len(sub)
+    return out
+
+
+def _build_peq(sub, q_codes, q_lens, alphabet, b):
+    """Query profiles for a chunk: (N, sigma, B) uint64.
+
+    peq[i, s, blk] bit r == 1 iff query i row blk*64+r equals symbol s or
+    is past the query end (wildcard padding, reference buildPeq
+    edlib.cpp:352-384).  Built with two 32-bit np.bincount passes — exact
+    in float64 — instead of a slow unbuffered ufunc.at.
+    """
+    n = len(sub)
+    sigma = len(alphabet)
+    lens = q_lens[sub]
+    total = b * WORD
+
+    # flat (pair, row) -> slot (pair*sigma + code)*b + block
+    ii = np.repeat(np.arange(n), lens)
+    rr = np.concatenate([np.arange(q_lens[i]) for i in sub]) if n else \
+        np.empty(0, np.int64)
+    cc = np.searchsorted(alphabet,
+                         np.concatenate([q_codes[i] for i in sub]))
+    slots = (ii * sigma + cc) * b + (rr >> 6)
+    sh = rr & 63
+    size = n * sigma * b
+    lo_sel = sh < 32
+    lo = np.bincount(slots[lo_sel],
+                     weights=(1 << sh[lo_sel]).astype(np.float64),
+                     minlength=size)
+    hi = np.bincount(slots[~lo_sel],
+                     weights=(1 << (sh[~lo_sel] - 32)).astype(np.float64),
+                     minlength=size)
+    peq = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+    peq = peq.reshape(n, sigma, b)
+
+    # wildcard padding rows: set pad bits in EVERY symbol plane
+    qrem = np.clip(lens[:, None] - np.arange(b)[None, :] * WORD, 0, WORD)
+    safe = np.minimum(qrem, WORD - 1).astype(np.uint64)  # avoid <<64 UB
+    pad = np.where(qrem >= WORD, np.uint64(0), _UALL << safe)
+    peq |= pad[:, None, :]
+    return peq
+
+
+def _chunk_distance(sub, q_codes, t_codes, q_lens, t_lens, k_arr,
+                    alphabet, b, mode, out):
+    """Run the vectorized Myers scan for one homogeneous chunk.
+
+    A *shared* Ukkonen band in block space is applied across the whole
+    chunk: any cell with value <= k satisfies |row - col| <= k (NW/SHW;
+    for HW only the upper bound holds because starts are free), so with
+    kmax = max per-pair k only blocks intersecting [j - kmax, j + kmax]
+    are computed each column.  Blocks entering the band from below are
+    initialized to boundary state exactly like the reference's band
+    extension (edlib.cpp:803-808).
+    """
+    n = len(sub)
+    qlen = q_lens[sub]
+    tlen = t_lens[sub]
+    kk = k_arr[sub]
+
+    peq = _build_peq(sub, q_codes, q_lens, alphabet, b)
+
+    max_t = int(tlen.max())
+    tpad = np.zeros((n, max_t), dtype=np.int64)
+    for i, idx in enumerate(sub):
+        tpad[i, :t_lens[idx]] = np.searchsorted(alphabet, t_codes[idx])
+
+    # state laid out (block, pair) so per-block rows are contiguous
+    pv = np.full((b, n), _UALL, dtype=np.uint64)
+    mv = np.zeros((b, n), dtype=np.uint64)
+    score = np.repeat(((np.arange(b) + 1) * WORD).astype(np.int64),
+                      n).reshape(b, n)
+
+    # per-pair bottom block (queries are padded up to the bucket width b,
+    # so the true last query row can sit in an inner block)
+    b_last = ((qlen - 1) // WORD).astype(np.int64)
+    w = ((b_last + 1) * WORD - qlen).astype(np.int64)       # 0..63
+    shift = np.minimum(WORD - w, WORD - 1).astype(np.uint64)
+    top_w = np.where(w == 0, np.uint64(0), _UALL << shift)
+
+    start_pos = 0 if mode == "HW" else 1
+    alive = np.ones(n, dtype=bool)
+    best = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)  # HW/SHW min
+    res = np.full(n, -1, dtype=np.int64)
+    rows = np.arange(n)
+    ones_u = np.ones(n, dtype=np.uint64)
+    zeros_u = np.zeros(n, dtype=np.uint64)
+
+    kmax = int(kk.max())
+    cur_blast = min(b - 1, kmax >> 6)  # blocks [0..cur_blast] initialized
+
+    lo = 0  # pairs [0:lo) have tlen <= j (done); tlen is sorted ascending
+    for j in range(max_t):
+        while lo < n and tlen[lo] <= j:
+            lo += 1
+        sl = slice(lo, n)
+        act = alive[sl]
+        if not act.any():
+            break
+        full = bool(act.all())
+
+        blast = min(b - 1, (j + kmax) >> 6)
+        bfirst = 0 if mode == "HW" else max(0, (j - kmax) >> 6)
+        if blast > cur_blast:  # band grew downward: boundary-state entry.
+            # The entering block gets P=all-ones (each cell +1 below the
+            # one above) anchored at the block above's previous-column
+            # bottom value — the reference's band-extension state
+            # (edlib.cpp:803-808); the normal loop then advances it.
+            for nb in range(cur_blast + 1, blast + 1):
+                pv[nb] = _UALL
+                mv[nb] = np.uint64(0)
+                score[nb] = score[nb - 1] + WORD
+            cur_blast = blast
+
+        eq_t = np.ascontiguousarray(
+            peq[rows[sl], tpad[sl, j], bfirst:blast + 1].T)  # (nblocks, m)
+        hpos = ones_u[sl] if start_pos else zeros_u[sl]
+        hneg = zeros_u[sl]
+        for blk in range(bfirst, blast + 1):
+            pv_b = pv[blk, sl]
+            mv_b = mv[blk, sl]
+            eq_b = eq_t[blk - bfirst]
+            xv = eq_b | mv_b
+            eq2 = eq_b | hneg
+            xh = (((eq2 & pv_b) + pv_b) ^ pv_b) | eq2
+            ph = mv_b | ~(xh | pv_b)
+            mh = pv_b & xh
+            hp = ph >> _U63
+            hm = mh >> _U63
+            ph = (ph << _U1) | hpos
+            mh = (mh << _U1) | hneg
+            pv_new = mh | ~(xv | ph)
+            mv_new = ph & xv
+            if full:
+                pv[blk, sl] = pv_new
+                mv[blk, sl] = mv_new
+                score[blk, sl] += hp.view(np.int64) - hm.view(np.int64)
+                hpos, hneg = hp, hm
+            else:
+                pv[blk, sl] = np.where(act, pv_new, pv_b)
+                mv[blk, sl] = np.where(act, mv_new, mv_b)
+                score[blk, sl] += np.where(act, hp.view(np.int64)
+                                           - hm.view(np.int64), 0)
+                hpos = np.where(act, hp, np.uint64(0))
+                hneg = np.where(act, hm, np.uint64(0))
+
+        # per-pair bottom-row readout: valid once the band reaches the
+        # pair's true bottom block
+        bl_i = b_last[sl]
+        # readable only while the pair's bottom block is inside the band;
+        # above the band (bl_i < bfirst) the block state is stale and the
+        # true bottom-row value provably exceeds kmax.
+        valid = (bl_i <= blast) & (bl_i >= bfirst)
+        if not valid.any():
+            continue
+        idx = rows[sl]
+        last_p = pv[bl_i, idx] & top_w[sl]
+        last_m = mv[bl_i, idx] & top_w[sl]
+        lrow = score[bl_i, idx] - _popcnt(last_p) + _popcnt(last_m)
+
+        if mode == "NW":
+            fin = act & (tlen[sl] == j + 1)
+            if fin.any():
+                got = np.where(valid & (lrow <= kk[sl]), lrow, -1)
+                res[sl] = np.where(fin, got, res[sl])
+                alive[sl] &= ~fin
+                act = alive[sl]
+            # k-bounded early exit: along the last row the score changes
+            # by at most 1 per column, so a pair whose last-row value
+            # cannot come back under k is dead.  Only trust lrow when it
+            # is <= kmax: above the shared band it may be a clamped
+            # overestimate (Ukkonen invariant).
+            remaining = tlen[sl] - 1 - j
+            dead = act & valid & (lrow <= kmax) & (lrow - remaining > kk[sl])
+            if dead.any():
+                alive[sl] &= ~dead
+        else:
+            upd = act & valid & (lrow < best[sl])
+            best[sl] = np.where(upd, lrow, best[sl])
+            # Freeze pairs whose min-over-columns can no longer improve:
+            # the last-row value moves by at most +-1 per column, so the
+            # best future value is lrow - remaining.  Also freeze once the
+            # recorded best is provably out of reach of k.
+            remaining = tlen[sl] - 1 - j
+            floor = lrow - remaining
+            exact = valid & (lrow <= kmax)  # above band: overestimate
+            frozen = act & ((exact & (floor >= best[sl])) | (best[sl] == 0))
+            dead = act & exact & (floor > kk[sl]) & (best[sl] > kk[sl])
+            if frozen.any() or dead.any():
+                alive[sl] &= ~(frozen | dead)
+
+    if mode != "NW":
+        res = np.where(best <= kk, best, -1)
+
+    out[sub] = res.astype(np.int32)

@@ -1,0 +1,116 @@
+"""Differential tests: batch-vectorized kernel vs single-pair kernel/oracle."""
+
+import numpy as np
+import pytest
+
+from edlib_spark.batch import batch_edit_distance
+from edlib_spark.kernel import align
+from edlib_spark.oracle import simple_edit_distance
+
+MODES = ("NW", "SHW", "HW")
+
+
+def _random_strings(rng, n, alpha, lmin, lmax):
+    letters = "abcdefghijklmnopqrstuvwxyz"[:alpha]
+    out = []
+    for _ in range(n):
+        ln = int(rng.integers(lmin, lmax))
+        out.append("".join(letters[i] for i in rng.integers(0, alpha, ln)))
+    return out
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_batch_matches_oracle_unbounded(mode):
+    rng = np.random.default_rng(42)
+    qs = _random_strings(rng, 60, 8, 1, 180)
+    ts = _random_strings(rng, 60, 8, 1, 700)
+    got = batch_edit_distance(qs, ts, mode=mode, k=-1)
+    for i in range(len(qs)):
+        exp, _ = simple_edit_distance(qs[i], ts[i], mode)
+        assert got[i] == exp, (mode, i, qs[i][:20], ts[i][:20])
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_batch_matches_kernel_with_k(mode):
+    rng = np.random.default_rng(11)
+    qs = _random_strings(rng, 50, 6, 1, 160)
+    ts = _random_strings(rng, 50, 6, 1, 400)
+    ks = rng.integers(0, 120, len(qs))
+    got = batch_edit_distance(qs, ts, mode=mode, k=ks)
+    for i in range(len(qs)):
+        exp = align(qs[i], ts[i], mode=mode, k=int(ks[i]))["editDistance"]
+        assert got[i] == exp, (mode, i, int(ks[i]))
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_batch_k_sweep(mode):
+    """-1 iff d > k, per pair (contract of test/runTests.cpp:167-193)."""
+    rng = np.random.default_rng(3)
+    qs = _random_strings(rng, 20, 5, 5, 90)
+    ts = _random_strings(rng, 20, 5, 5, 250)
+    d0 = batch_edit_distance(qs, ts, mode=mode, k=-1)
+    for delta in (-1, 0, 1):
+        ks = d0 + delta
+        got = batch_edit_distance(qs, ts, mode=mode, k=ks)
+        for i in range(len(qs)):
+            if delta < 0:
+                assert got[i] == -1
+            else:
+                assert got[i] == d0[i]
+
+
+def test_batch_empty_and_none():
+    qs = ["", "abc", None, "abc"]
+    ts = ["abc", "", "xy", None]
+    assert batch_edit_distance(qs, ts, mode="NW", k=-1).tolist() == \
+        [3, 3, 2, 3]
+    # empty query => distance qlen == 0 in HW/SHW (edlib.cpp:172-176)
+    assert batch_edit_distance(qs, ts, mode="HW", k=-1).tolist() == \
+        [0, 3, 0, 3]
+    assert batch_edit_distance(qs, ts, mode="SHW", k=-1).tolist() == \
+        [0, 3, 0, 3]
+
+
+def test_batch_multiblock_queries():
+    """Queries spanning several 64-row blocks (incl. exact boundaries)."""
+    rng = np.random.default_rng(99)
+    qs, ts = [], []
+    for qlen in (63, 64, 65, 128, 200, 300):
+        q = _random_strings(rng, 1, 4, qlen, qlen + 1)[0]
+        t = _random_strings(rng, 1, 4, 50, 900)[0]
+        qs.append(q)
+        ts.append(t)
+    for mode in MODES:
+        got = batch_edit_distance(qs, ts, mode=mode, k=-1)
+        for i in range(len(qs)):
+            exp, _ = simple_edit_distance(qs[i], ts[i], mode)
+            assert got[i] == exp, (mode, i, len(qs[i]))
+
+
+def test_batch_identical_and_near():
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    qs = [base, base, base[:-5]]
+    ts = [base, base.replace("quick", "quack"), base]
+    got = batch_edit_distance(qs, ts, mode="NW", k=-1)
+    assert got[0] == 0
+    assert got[1] == 8  # one substitution per repeat of the phrase
+    assert got[2] == 5
+
+
+def test_batch_unicode():
+    qs = ["ты милая", "héllo wörld"]
+    ts = ["ты гений", "hello world"]
+    got = batch_edit_distance(qs, ts, mode="NW", k=-1)
+    assert got[0] == 5
+    assert got[1] == 2
+
+
+def test_batch_mixed_block_counts_one_call():
+    """Pairs with different num_blocks in one call exercise the chunker."""
+    rng = np.random.default_rng(17)
+    qs = _random_strings(rng, 30, 6, 1, 300)
+    ts = _random_strings(rng, 30, 6, 1, 300)
+    got = batch_edit_distance(qs, ts, mode="NW", k=-1)
+    for i in range(len(qs)):
+        exp, _ = simple_edit_distance(qs[i], ts[i], "NW")
+        assert got[i] == exp
