@@ -1,0 +1,102 @@
+"""Locality-sensitive blocking keys: geometric length bands + MinHash LSH.
+
+Everything here is JVM-side Catalyst expressions (higher-order array
+functions + xxhash64); no Python executes per row.
+
+Length bands: for the NW threshold ``dist <= tau * max(len_a, len_b)``
+any match satisfies len ratio >= 1 - tau, so geometric bands with ratio
+1/(1-tau) guarantee matching pairs land in the same or adjacent bands;
+each record emits its band and band+1 so adjacent-band pairs meet on an
+equi-join key (pairs are deduped downstream).  This is the reference's
+k < |tlen-qlen| shortcut (edlib/src/edlib.cpp:744-747) lifted into a
+join key.
+
+MinHash LSH: char n-gram -> xxhash64 -> H affine permutations
+(min per permutation) -> bands of r rows hashed into one bucket key.
+Recall/precision tuned by (H, bands); near-duplicate conversations
+collide on at least one band with high probability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: modulus for the affine minhash permutations
+# (31-bit operands keep a*h within int64 under ANSI arithmetic).
+_P = (1 << 31) - 1
+
+
+def length_band(text_len: Column, tau: float) -> Column:
+    """Geometric length-band index such that any pair with
+    |len_a - len_b| <= tau * max(len_a, len_b) differs by at most one
+    band."""
+    ratio = 1.0 / (1.0 - tau)
+    return F.floor(F.log(F.greatest(text_len, F.lit(1)).cast("double"))
+                   / F.lit(float(__import__("math").log(ratio))))
+
+
+def length_band_blocks(canon: DataFrame, tau: float = 0.2) -> DataFrame:
+    """(conv_id, block_key) rows from length bands (band and band+1)."""
+    band = length_band(F.col("text_len"), tau)
+    return (canon
+            .select("conv_id", "text_len",
+                    F.explode(F.array(band, band + 1)).alias("band"))
+            .select("conv_id",
+                    F.concat(F.lit("len:"), F.col("band")).alias("block_key")))
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Array of character n-grams (JVM-side, via sequence+substr)."""
+    length = F.length(text)
+    idx = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: text.substr(i, F.lit(n)))
+
+
+def minhash_signature(text: Column, num_hashes: int = 16,
+                      ngram: int = 5, seed: int = 42) -> Column:
+    """Array of ``num_hashes`` minhash values over char n-grams.
+
+    One base xxhash64 per gram, then affine permutations
+    (a_i * h + b_i) mod p — all inside Catalyst ``transform``/
+    ``array_min``; evaluated once per row.
+    """
+    import random
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P))
+              for _ in range(num_hashes)]
+    grams = char_ngrams(text, ngram)
+    base = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(_P)))
+    return F.array(*[
+        F.array_min(F.transform(
+            base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P)))
+        for a, b in coeffs
+    ])
+
+
+def minhash_blocks(canon: DataFrame, num_hashes: int = 16, bands: int = 4,
+                   ngram: int = 5, seed: int = 42) -> DataFrame:
+    """(conv_id, block_key) rows: one LSH bucket key per band."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col("full_text"), num_hashes, ngram, seed)
+    with_sig = canon.select("conv_id", sig.alias("sig"))
+    keys = F.array(*[
+        F.concat(F.lit(f"mh{i}:"),
+                 F.xxhash64(F.slice(F.col("sig"), i * rows + 1, rows),
+                            F.lit(i)).cast("string"))
+        for i in range(bands)
+    ])
+    return (with_sig
+            .select("conv_id", F.explode(keys).alias("block_key")))
+
+
+def all_blocks(canon: DataFrame, tau: float = 0.2, use_minhash: bool = True,
+               num_hashes: int = 16, bands: int = 4,
+               ngram: int = 5) -> DataFrame:
+    """Union of blocking strategies (deduped per (conv_id, block_key))."""
+    blocks = length_band_blocks(canon, tau)
+    if use_minhash:
+        blocks = blocks.unionByName(
+            minhash_blocks(canon, num_hashes, bands, ngram))
+    return blocks.dropDuplicates(["conv_id", "block_key"])

@@ -1,0 +1,99 @@
+"""Transitive clustering: large-star / small-star connected components.
+
+Iterative alternation of the two star operations (Kiveris et al.,
+"Connected Components in MapReduce and Beyond") over the match-edge set
+until fixpoint.  Each iteration is two shuffles (groupBy u); lineage is
+cut per iteration with localCheckpoint so long chains never build up —
+Catalyst has no fixpoint operator, so the loop is driver-side but all
+data movement stays distributed.
+
+Cluster ids are the component-minimum conv_id (lexicographic min —
+stable and deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to the
+    minimum of N(u) ∪ {u}.
+
+    Implemented as groupBy-min + join-back (both shuffles hash on u and
+    are co-partitioned) instead of collect_set, so a giant component
+    never materializes one huge array row.
+    """
+    sym = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")) \
+        .unionByName(edges.select(F.col("id_b").alias("u"),
+                                  F.col("id_a").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv")) \
+        .select("u", F.least("mv", F.col("u")).alias("m"))
+    out = (sym.join(mins, "u")
+           .where(F.col("v") > F.col("u"))
+           .select(F.col("v").alias("id_a"), F.col("m").alias("id_b")))
+    return out.where(F.col("id_a") != F.col("id_b")).distinct()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u over edges oriented high->low: connect all
+    smaller-or-equal neighbors (and u itself) to the minimum neighbor."""
+    oriented = edges.select(
+        F.greatest("id_a", "id_b").alias("u"),
+        F.least("id_a", "id_b").alias("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nbr_edges = (oriented.join(mins, "u")
+                 .select(F.col("v").alias("id_a"), F.col("m").alias("id_b")))
+    self_edges = mins.select(F.col("u").alias("id_a"),
+                             F.col("m").alias("id_b"))
+    out = nbr_edges.unionByName(self_edges)
+    return out.where(F.col("id_a") != F.col("id_b")).distinct()
+
+
+def _edge_fingerprint(edges: DataFrame):
+    """Order-insensitive, overflow-free content fingerprint of the edge
+    set (count + xor of row hashes) for fixpoint detection."""
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(id_a, id_b))").alias("h")).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 25)\
+        -> DataFrame:
+    """(conv_id, cluster_id) for every node appearing in ``edges``;
+    cluster_id = min conv_id of the component."""
+    spark = edges.sparkSession
+    if edges.isEmpty():
+        return spark.createDataFrame([], "conv_id string, cluster_id string")
+
+    current = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    prev_fp = None
+    for _ in range(max_iterations):
+        current = _large_star(current).localCheckpoint(eager=True)
+        current = _small_star(current).localCheckpoint(eager=True)
+        fp = _edge_fingerprint(current)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # at fixpoint every edge points node -> component root
+    members = current.select(F.col("id_a").alias("conv_id"),
+                             F.col("id_b").alias("cluster_id"))
+    roots = current.select(F.col("id_b").alias("conv_id"),
+                           F.col("id_b").alias("cluster_id")).distinct()
+    return members.unionByName(roots).dropDuplicates(["conv_id"])
+
+
+def cluster_assignments(all_nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Full assignment (conv_id, cluster_id): connected components of the
+    match edges plus singletons for unmatched conversations.
+
+    ``all_nodes``: DataFrame with a conv_id column.
+    """
+    comps = connected_components(edges)
+    return (all_nodes.select("conv_id")
+            .join(comps, "conv_id", "left")
+            .select("conv_id",
+                    F.coalesce("cluster_id", "conv_id").alias("cluster_id")))

@@ -1,0 +1,118 @@
+"""End-to-end record-linkage plan: canonicalize → block → pair → score →
+cluster, with optional stage checkpointing (resume) and an evaluation
+helper (pairwise F1 vs ground-truth labels).
+
+This is the engine's flagship dataflow (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.blocking import length_band, minhash_blocks
+from ..operators.canonicalize import canonicalize
+from ..operators.clustering import cluster_assignments
+from ..operators.pairs import candidate_pairs
+from ..operators.scoring import match_edges, score_pairs
+from .catalog import RunCatalog
+
+
+@dataclass
+class LinkageConfig:
+    tau: float = 0.2                 # match threshold on normalized NW dist
+    mode: str = "NW"
+    # blocking
+    use_minhash: bool = True
+    minhash_hashes: int = 16
+    minhash_bands: int = 8
+    ngram: int = 5
+    use_structural: bool = True      # (n_turns, length-band) key
+    band_tau: float = 0.1            # width of structural length bands
+    # skew
+    hot_block_threshold: int = 256
+    salt_group_size: int = 128
+    extra: dict = field(default_factory=dict)
+
+
+def build_blocks(canon: DataFrame, cfg: LinkageConfig) -> DataFrame:
+    """Blocking keys: structural (n_turns + geometric length band, band
+    and band+1 for adjacency) ∪ MinHash LSH buckets."""
+    parts = []
+    if cfg.use_structural:
+        band = length_band(F.col("text_len"), cfg.band_tau)
+        parts.append(
+            canon.select(
+                "conv_id",
+                F.explode(F.array(band, band + 1)).alias("band"),
+                F.col("n_turns"))
+            .select("conv_id",
+                    F.concat(F.lit("st:"), F.col("n_turns"), F.lit(":"),
+                             F.col("band")).alias("block_key")))
+    if cfg.use_minhash:
+        parts.append(minhash_blocks(canon, cfg.minhash_hashes,
+                                    cfg.minhash_bands, cfg.ngram))
+    blocks = parts[0]
+    for p in parts[1:]:
+        blocks = blocks.unionByName(p)
+    return blocks.dropDuplicates(["conv_id", "block_key"])
+
+
+def run_linkage(transcripts: DataFrame, cfg: LinkageConfig | None = None,
+                catalog: RunCatalog | None = None) -> dict:
+    """Run the full pipeline; returns dict of stage DataFrames.
+
+    With a ``catalog``, every stage checkpoints (parquet + manifest) and
+    an interrupted run resumes from the last completed stage.
+    """
+    cfg = cfg or LinkageConfig()
+
+    def _stage(name, build):
+        if catalog is not None:
+            return catalog.stage(name, build)
+        return build()
+
+    canon = _stage("canonical", lambda: canonicalize(transcripts))
+    blocks = _stage("blocks", lambda: build_blocks(canon, cfg))
+    pairs = _stage("candidate_pairs",
+                   lambda: candidate_pairs(blocks, cfg.hot_block_threshold,
+                                           cfg.salt_group_size))
+    scored = _stage("scored_pairs",
+                    lambda: score_pairs(pairs, canon, cfg.tau, cfg.mode))
+    edges = _stage("edges", lambda: match_edges(scored, cfg.tau))
+    clusters = _stage("clusters",
+                      lambda: cluster_assignments(canon, edges))
+    return {"canonical": canon, "blocks": blocks, "pairs": pairs,
+            "scored": scored, "edges": edges, "clusters": clusters}
+
+
+def pairwise_f1(clusters: DataFrame, truth: DataFrame) -> dict:
+    """Pairwise precision/recall/F1 of predicted clusters vs truth.
+
+    Both inputs: (conv_id, cluster_id).  Pair counts are computed from
+    cluster/label sizes and an intersection contingency — no quadratic
+    pair materialization, so this evaluates at any scale.
+    """
+    joined = (clusters.withColumnRenamed("cluster_id", "pred")
+              .join(truth.withColumnRenamed("cluster_id", "label"),
+                    "conv_id"))
+
+    def _pairs(count_col):
+        return (count_col * (count_col - 1) / 2)
+
+    pred_pairs = (joined.groupBy("pred").count()
+                  .agg(F.sum(_pairs(F.col("count")))).collect()[0][0]) or 0
+    true_pairs = (joined.groupBy("label").count()
+                  .agg(F.sum(_pairs(F.col("count")))).collect()[0][0]) or 0
+    both_pairs = (joined.groupBy("pred", "label").count()
+                  .agg(F.sum(_pairs(F.col("count")))).collect()[0][0]) or 0
+
+    precision = both_pairs / pred_pairs if pred_pairs else 1.0
+    recall = both_pairs / true_pairs if true_pairs else 1.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {"precision": precision, "recall": recall, "f1": f1,
+            "pred_pairs": float(pred_pairs), "true_pairs": float(true_pairs),
+            "common_pairs": float(both_pairs)}

@@ -1,0 +1,44 @@
+"""SparkSession factory with the engine's standard configuration."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "edlib-spark", master: str | None = None,
+              shuffle_partitions: int | None = None, **extra) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the linkage pipeline.
+
+    Defaults chosen for scale-out behavior, not just local mode:
+      * AQE on (runtime re-planning + skew-join splitting — first line of
+        defense for hot block keys),
+      * Arrow on (the scorer is an Arrow-batched pandas UDF),
+      * shuffle partitions sized to the parallelism at hand.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[6:-1]
+            shuffle_partitions = 32 if inner == "*" else max(8, int(inner))
+        else:
+            shuffle_partitions = 200
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in extra.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

@@ -1,0 +1,125 @@
+"""End-to-end linkage pipeline tests on deterministic synthetic
+transcripts: F1 vs ground truth, clustering, checkpoint/resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from edlib_spark.operators.clustering import (
+    cluster_assignments, connected_components,
+)
+from edlib_spark.plans.catalog import RunCatalog
+from edlib_spark.plans.linkage import (
+    LinkageConfig, pairwise_f1, run_linkage,
+)
+from edlib_spark.sources.transcripts import (
+    ground_truth_cluster, synth_transcripts,
+)
+
+
+def test_synth_transcripts_deterministic(spark):
+    a = synth_transcripts(spark, 10, seed=42, num_partitions=2)
+    b = synth_transcripts(spark, 10, seed=42, num_partitions=7)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+    assert len(rows_a) > 0
+    # schema contract (input_hint)
+    assert [f.name for f in a.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d"), ("x", "y")],
+        ["id_a", "id_b"])
+    got = {r["conv_id"]: r["cluster_id"]
+           for r in connected_components(edges).collect()}
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["d"] == got["e"] == "d"
+    assert got["x"] == got["y"] == "x"
+
+
+def test_connected_components_chain(spark):
+    """Long path graph — worst case for naive propagation."""
+    n = 60
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n)],
+        ["id_a", "id_b"])
+    got = connected_components(edges)
+    assert got.select("cluster_id").distinct().count() == 1
+    assert got.count() == n + 1
+
+
+def test_cluster_assignments_includes_singletons(spark):
+    nodes = spark.createDataFrame([("a",), ("b",), ("z",)], ["conv_id"])
+    edges = spark.createDataFrame([("a", "b")], ["id_a", "id_b"])
+    got = {r["conv_id"]: r["cluster_id"]
+           for r in cluster_assignments(nodes, edges).collect()}
+    assert got == {"a": "a", "b": "a", "z": "z"}
+
+
+@pytest.fixture(scope="module")
+def linkage_result(spark):
+    transcripts = synth_transcripts(spark, 120, seed=42).cache()
+    result = run_linkage(transcripts, LinkageConfig())
+    result["transcripts"] = transcripts
+    yield result
+    transcripts.unpersist()
+
+
+def test_pipeline_f1_against_ground_truth(spark, linkage_result):
+    clusters = linkage_result["clusters"]
+    truth = clusters.select(
+        "conv_id", ground_truth_cluster(F.col("conv_id")).alias("cluster_id"))
+    m = pairwise_f1(clusters, truth)
+    assert m["f1"] >= 0.99, m
+    assert m["recall"] >= 0.99, m
+    assert m["precision"] >= 0.99, m
+
+
+def test_pipeline_scored_pairs_sane(spark, linkage_result):
+    scored = linkage_result["scored"]
+    bad = scored.where(
+        (F.col("edit_distance") < -1)
+        | ((F.col("edit_distance") >= 0) & (F.col("norm_distance") < 0))
+        | (F.col("norm_distance") > 1.0)).count()
+    assert bad == 0
+    # at least the exact-duplicate variants score 0
+    assert scored.where(F.col("edit_distance") >= 0).count() > 0
+
+
+def test_pipeline_resume_from_checkpoint(spark, tmp_run_dir):
+    """Interrupt after the blocks stage; resuming must (a) skip completed
+    stages and (b) produce identical clusters."""
+    transcripts = synth_transcripts(spark, 40, seed=7).cache()
+    cfg = LinkageConfig()
+
+    cat1 = RunCatalog(spark, tmp_run_dir, "run1")
+    full = run_linkage(transcripts, cfg, catalog=cat1)
+    clusters_full = sorted(map(tuple, full["clusters"].collect()))
+    stages_done = {m["stage"] for m in cat1.manifests()}
+    assert {"canonical", "blocks", "candidate_pairs", "scored_pairs",
+            "edges", "clusters"} <= stages_done
+
+    # simulate a partial run: copy only the first three stage checkpoints
+    import shutil
+    cat2 = RunCatalog(spark, tmp_run_dir, "run2")
+    for st in ("canonical", "blocks", "candidate_pairs"):
+        shutil.copytree(f"{tmp_run_dir}/run1/{st}",
+                        f"{tmp_run_dir}/run2/{st}")
+        shutil.copy(f"{tmp_run_dir}/run1/{st}.json",
+                    f"{tmp_run_dir}/run2/{st}.json")
+    resumed = run_linkage(transcripts, cfg, catalog=cat2)
+    clusters_resumed = sorted(map(tuple, resumed["clusters"].collect()))
+    assert clusters_resumed == clusters_full
+    transcripts.unpersist()
+
+
+def test_checkpoint_manifests_lineage(spark, tmp_run_dir):
+    transcripts = synth_transcripts(spark, 15, seed=9)
+    cat = RunCatalog(spark, tmp_run_dir, "runm")
+    run_linkage(transcripts, LinkageConfig(), catalog=cat)
+    for m in cat.manifests():
+        assert m["rows"] == sum(p["rows"] for p in m["partitions"])
+        assert m["wall_ms"] >= 0
+        assert all("partition_id" in p for p in m["partitions"])

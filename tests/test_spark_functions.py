@@ -1,0 +1,156 @@
+"""Spark-level tests for UDFs and core operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from edlib_spark.functions import align_expr, edit_distance, norm_distance
+from edlib_spark.operators import canonicalize, TURN_SEP
+from edlib_spark.operators.blocking import (
+    char_ngrams, length_band_blocks, minhash_blocks,
+)
+from edlib_spark.operators.pairs import candidate_pairs
+from edlib_spark.oracle import simple_edit_distance
+
+
+def test_edit_distance_udf(spark):
+    rows = [("telephone", "elephant"), ("abc", "abc"), ("", "xyz"),
+            ("kitten", "sitting")]
+    df = spark.createDataFrame(rows, ["q", "t"])
+    got = {(r["q"], r["t"]): r["d"] for r in
+           df.withColumn("d", edit_distance(F.col("q"), F.col("t"),
+                                            "NW", -1)).collect()}
+    assert got[("telephone", "elephant")] == 3
+    assert got[("abc", "abc")] == 0
+    assert got[("", "xyz")] == 3
+    assert got[("kitten", "sitting")] == 3
+
+
+def test_edit_distance_udf_column_k(spark):
+    rows = [("telephone", "elephant", 2), ("telephone", "elephant", 3)]
+    df = spark.createDataFrame(rows, ["q", "t", "k"])
+    got = [r["d"] for r in
+           df.withColumn("d", edit_distance(F.col("q"), F.col("t"), "NW",
+                                            F.col("k")))
+           .orderBy("k").collect()]
+    assert got == [-1, 3]
+
+
+def test_edit_distance_matches_spark_builtin(spark):
+    """Cross-check against Spark's built-in levenshtein (independent
+    oracle, unbanded NW)."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    letters = "abcdef"
+    rows = []
+    for _ in range(80):
+        q = "".join(letters[i] for i in rng.integers(0, 6,
+                                                     rng.integers(0, 60)))
+        t = "".join(letters[i] for i in rng.integers(0, 6,
+                                                     rng.integers(0, 60)))
+        rows.append((q, t))
+    df = spark.createDataFrame(rows, ["q", "t"])
+    bad = (df.withColumn("ours", edit_distance(F.col("q"), F.col("t")))
+           .withColumn("ref", F.levenshtein("q", "t"))
+           .where(F.col("ours") != F.col("ref")).count())
+    assert bad == 0
+
+
+def test_align_expr_struct(spark):
+    df = spark.createDataFrame([("telephone", "elephant")], ["q", "t"])
+    r = df.select(align_expr(F.col("q"), F.col("t"), mode="NW",
+                             task="path").alias("r")).collect()[0]["r"]
+    assert r["editDistance"] == 3
+    assert r["cigar"] is not None
+    assert r["locations"][0]["end"] == 7
+
+
+def test_norm_distance(spark):
+    df = spark.createDataFrame([(3, 10, 6), (-1, 10, 6)],
+                               ["d", "la", "lb"])
+    got = [r["n"] for r in df.select(
+        norm_distance(F.col("d"), F.col("la"), F.col("lb")).alias("n"))
+        .collect()]
+    assert got[0] == pytest.approx(0.3)
+    assert got[1] is None
+
+
+def test_canonicalize_turn_order_invariant(spark):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering:
+    shuffled input rows must canonicalize to the turn-ordered string."""
+    import datetime as dt
+    rows = [
+        ("c1", 2, "user", "third", None, dt.datetime(2024, 1, 1)),
+        ("c1", 0, "user", "first", None, dt.datetime(2024, 1, 1)),
+        ("c1", 1, "assistant", "second", None, dt.datetime(2024, 1, 1)),
+        ("c2", 0, "user", "only", None, dt.datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    got = {r["conv_id"]: r for r in canonicalize(df).collect()}
+    assert got["c1"]["full_text"] == TURN_SEP.join(["first", "second",
+                                                    "third"])
+    assert got["c1"]["n_turns"] == 3
+    assert got["c2"]["full_text"] == "only"
+    # round-trip: splitting recovers the per-turn texts exactly
+    assert got["c1"]["full_text"].split(TURN_SEP) == ["first", "second",
+                                                      "third"]
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([("abcdef",)], ["t"])
+    grams = df.select(char_ngrams(F.col("t"), 3).alias("g")) \
+        .collect()[0]["g"]
+    assert grams == ["abc", "bcd", "cde", "def"]
+
+
+def test_length_band_blocks_adjacency(spark):
+    """Pairs within the tau length ratio share at least one band key."""
+    df = spark.createDataFrame(
+        [("a", "x" * 100), ("b", "x" * 119)], ["conv_id", "full_text"]) \
+        .withColumn("text_len", F.length("full_text")) \
+        .withColumn("n_turns", F.lit(1))
+    blocks = length_band_blocks(df, tau=0.2)
+    a_keys = {r["block_key"] for r in
+              blocks.where(F.col("conv_id") == "a").collect()}
+    b_keys = {r["block_key"] for r in
+              blocks.where(F.col("conv_id") == "b").collect()}
+    assert a_keys & b_keys
+
+
+def test_minhash_blocks_near_duplicates_collide(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight") * 3
+    near = base.replace("quick", "qvick", 1)
+    far = "completely different content with other words entirely " * 5
+    df = spark.createDataFrame(
+        [("a", base), ("b", near), ("c", far)],
+        ["conv_id", "full_text"])
+    blocks = minhash_blocks(df, num_hashes=16, bands=8)
+    keys = {cid: {r["block_key"] for r in rows} for cid, rows in
+            ((c, blocks.where(F.col("conv_id") == c).collect())
+             for c in "abc")}
+    assert keys["a"] & keys["b"], "near duplicates must share a bucket"
+    assert not (keys["a"] & keys["c"]), "unrelated text must not collide"
+
+
+def test_candidate_pairs_dedup_and_order(spark):
+    blocks = spark.createDataFrame(
+        [("k1", "a"), ("k1", "b"), ("k1", "c"),
+         ("k2", "a"), ("k2", "b")],
+        ["block_key", "conv_id"])
+    got = {(r["id_a"], r["id_b"]) for r in candidate_pairs(blocks).collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_candidate_pairs_salted_hot_block(spark):
+    """A hot block above the salt threshold still yields the exact
+    triangular pair set, each pair exactly once."""
+    n = 40
+    rows = [("hot", f"v{i:03d}") for i in range(n)]
+    blocks = spark.createDataFrame(rows, ["block_key", "conv_id"])
+    pairs = candidate_pairs(blocks, hot_block_threshold=10,
+                            salt_group_size=8)
+    got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert len(got) == len(set(got)) == n * (n - 1) // 2
+    assert all(a < b for a, b in got)
