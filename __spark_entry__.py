@@ -1,38 +1,38 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship: full record-linkage pipeline (canonicalize →
+                  block → pair → score → cluster) on deterministic
+                  synthetic transcripts; returns the cluster assignments.
+queries()       — one entry per implemented operator (SURVEY.md §2);
+                  each callable takes (spark, sf_dir) -> DataFrame.
+oracle_sql()    — equivalent DuckDB SQL per query where expressible.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: linkage clusters over synthetic transcripts
+    (tiny scale for the smoke check)."""
+    from edlib_spark.plans.linkage import LinkageConfig, run_linkage
+    from edlib_spark.sources.transcripts import synth_transcripts
+
+    transcripts = synth_transcripts(spark, n_clusters=20, seed=42)
+    return run_linkage(transcripts, LinkageConfig())["clusters"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from edlib_spark.driver_contract import build_queries
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from edlib_spark.driver_contract import build_oracle_sql
+    return build_oracle_sql()

@@ -1,0 +1,545 @@
+"""Driver-contract implementations: queries() + oracle_sql() bodies.
+
+Each query here has BOTH a Spark implementation (DataFrame, reading
+parquet from the given sf_dir) and, where expressible, an ANSI-SQL
+oracle DuckDB runs on the same tables.  Column names and types are
+aligned exactly (the driver hashes values after sorting columns by
+name), so every computed column is aliased identically on both sides
+and integer outputs are cast to BIGINT.
+
+The conversation-pipeline queries operate on a transcripts-shaped table
+derived deterministically FROM the events table (conv per user, turns
+ordered by (ts, event_id)) — the same derivation is expressed in SQL, so
+the full canonicalize → block → pair → score → cluster chain is
+SQL-checked.  The flagship synthetic-transcript queries read the
+deterministic parquet produced by edlib_spark.sources.transcripts and
+their oracles read the same files via read_parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.alignment import align_expr, edit_distance
+from .operators.blocking import minhash_blocks
+from .operators.canonicalize import canonicalize
+from .operators.clustering import cluster_assignments
+from .operators.pairs import candidate_pairs
+from .sources.transcripts import ensure_transcripts_parquet, transcripts_path
+
+SEP = "␞"
+TAU = 0.2
+BAND_W = 64  # fixed-width length band for the SQL-checked blocking query
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# transcripts derived from events (identical derivation in SQL below)
+# ---------------------------------------------------------------------------
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string"))
+         .alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(F.col("event_type"), F.lit(" "), F.col("props"))
+         .alias("text")))
+
+
+_SQL_TRANSCRIPTS = """
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) - 1 AS BIGINT)
+               AS turn_idx,
+           event_type AS role,
+           event_type || ' ' || props AS text
+    FROM events
+"""
+
+
+def canonical_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return (canonicalize(t, sep=SEP)
+            .select("conv_id", "full_text",
+                    F.col("n_turns").cast("bigint").alias("n_turns"),
+                    F.col("text_len").cast("bigint").alias("text_len")))
+
+
+_SQL_CANONICAL = f"""
+    WITH t AS ({_SQL_TRANSCRIPTS})
+    SELECT conv_id,
+           string_agg(text, '{SEP}' ORDER BY turn_idx) AS full_text,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(length(string_agg(text, '{SEP}' ORDER BY turn_idx))
+                AS BIGINT) AS text_len
+    FROM t GROUP BY conv_id
+"""
+
+
+def length_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = canonical_conversations(spark, sf_dir)
+    band = F.floor(F.col("text_len") / F.lit(BAND_W))
+    return (canon.select(
+        "conv_id", F.explode(F.array(band, band + 1)).alias("band"))
+        .select("conv_id",
+                F.concat(F.lit("len:"), F.col("band").cast("string"))
+                 .alias("block_key")))
+
+
+_SQL_LENGTH_BLOCKS = f"""
+    WITH c AS ({_SQL_CANONICAL})
+    SELECT conv_id,
+           'len:' || CAST(CAST(floor(text_len / {BAND_W}) AS BIGINT)
+                          AS VARCHAR) AS block_key FROM c
+    UNION ALL
+    SELECT conv_id,
+           'len:' || CAST(CAST(floor(text_len / {BAND_W}) + 1 AS BIGINT)
+                          AS VARCHAR) AS block_key FROM c
+"""
+
+
+def candidate_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks = length_blocks(spark, sf_dir)
+    return candidate_pairs(blocks)
+
+
+_SQL_PAIRS = f"""
+    WITH b AS ({_SQL_LENGTH_BLOCKS})
+    SELECT DISTINCT a.conv_id AS id_a, c.conv_id AS id_b
+    FROM b a JOIN b c ON a.block_key = c.block_key
+    WHERE a.conv_id < c.conv_id
+"""
+
+
+def scored_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = candidate_pairs_events(spark, sf_dir)
+    canon = canonical_conversations(spark, sf_dir)
+    a = canon.select(F.col("conv_id").alias("id_a"),
+                     F.col("full_text").alias("text_a"),
+                     F.col("text_len").alias("len_a"))
+    b = canon.select(F.col("conv_id").alias("id_b"),
+                     F.col("full_text").alias("text_b"),
+                     F.col("text_len").alias("len_b"))
+    df = pairs.join(a, "id_a").join(b, "id_b")
+    max_len = F.greatest("len_a", "len_b")
+    k = F.ceil(F.lit(TAU) * max_len).cast("int")
+    df = df.where(F.abs(F.col("len_a") - F.col("len_b")) <= k)
+    return df.select(
+        "id_a", "id_b",
+        F.col("len_a").cast("bigint").alias("len_a"),
+        F.col("len_b").cast("bigint").alias("len_b"),
+        edit_distance(F.col("text_a"), F.col("text_b"), "NW", k)
+        .cast("bigint").alias("edit_distance"))
+
+
+_SQL_SCORED = f"""
+    WITH c AS ({_SQL_CANONICAL}), p AS ({_SQL_PAIRS})
+    SELECT p.id_a, p.id_b,
+           CAST(a.text_len AS BIGINT) AS len_a,
+           CAST(b.text_len AS BIGINT) AS len_b,
+           CAST(CASE WHEN levenshtein(a.full_text, b.full_text)
+                          <= CAST(ceil({TAU} * greatest(a.text_len,
+                                                        b.text_len)) AS INT)
+                     THEN levenshtein(a.full_text, b.full_text)
+                     ELSE -1 END AS BIGINT) AS edit_distance
+    FROM p JOIN c a ON p.id_a = a.conv_id
+           JOIN c b ON p.id_b = b.conv_id
+    WHERE abs(a.text_len - b.text_len)
+          <= CAST(ceil({TAU} * greatest(a.text_len, b.text_len)) AS INT)
+"""
+
+
+def match_edges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = scored_pairs_events(spark, sf_dir)
+    max_len = F.greatest("len_a", "len_b")
+    return (scored
+            .where((F.col("edit_distance") >= 0)
+                   & (F.col("edit_distance") <= F.lit(TAU) * max_len))
+            .select("id_a", "id_b"))
+
+
+_SQL_EDGES = f"""
+    WITH s AS ({_SQL_SCORED})
+    SELECT id_a, id_b FROM s
+    WHERE edit_distance >= 0
+      AND edit_distance <= {TAU} * greatest(len_a, len_b)
+"""
+
+
+def clusters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = canonical_conversations(spark, sf_dir)
+    edges = match_edges_events(spark, sf_dir)
+    return cluster_assignments(canon, edges)
+
+
+_SQL_CLUSTERS = f"""
+    WITH RECURSIVE e AS ({_SQL_EDGES}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM e
+            UNION SELECT id_b, id_a FROM e),
+    reach AS (
+        SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.u AS node, r.lab AS lab
+        FROM sym s JOIN reach r ON s.v = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS root FROM reach GROUP BY node),
+    c AS ({_SQL_CANONICAL})
+    SELECT c.conv_id, coalesce(comp.root, c.conv_id) AS cluster_id
+    FROM c LEFT JOIN comp ON c.conv_id = comp.node
+"""
+
+
+# ---------------------------------------------------------------------------
+# customer / documents single-operator queries
+# ---------------------------------------------------------------------------
+
+def nw_distance_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("id_a"),
+                    F.col("c_name").alias("name_a"))
+    b = cust.select((F.col("c_custkey") - 1).alias("id_a"),
+                    F.col("c_name").alias("name_b"),
+                    F.col("c_custkey").alias("id_b"))
+    return (a.join(b, "id_a")
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    edit_distance(F.col("name_a"), F.col("name_b"), "NW", -1)
+                    .cast("bigint").alias("edit_distance")))
+
+
+_SQL_NW_CUSTOMER = """
+    SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+           CAST(b.c_custkey AS BIGINT) AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+    FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+"""
+
+
+def nw_distance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.col("text").alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"),
+                    F.col("text").alias("text_b"))
+    return (a.join(b, "id_a")
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    edit_distance(F.col("text_a"), F.col("text_b"), "NW", -1)
+                    .cast("bigint").alias("edit_distance")))
+
+
+_SQL_NW_DOCUMENTS = """
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def nw_distance_documents_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-bounded variant: the reference's -k discard contract
+    (apps/aligner/aligner.cpp:41,71-72,170): -1 where distance > k."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.col("text").alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"),
+                    F.col("text").alias("text_b"))
+    return (a.join(b, "id_a")
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    edit_distance(F.col("text_a"), F.col("text_b"), "NW",
+                                  100)
+                    .cast("bigint").alias("edit_distance")))
+
+
+_SQL_NW_DOCUMENTS_K = """
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(CASE WHEN levenshtein(a.text, b.text) <= 100
+                     THEN levenshtein(a.text, b.text) ELSE -1 END
+                AS BIGINT) AS edit_distance
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.groupBy("text")
+            .agg(F.min("doc_id").cast("bigint").alias("rep_id"),
+                 F.count(F.lit(1)).cast("bigint").alias("dup_count"))
+            .select("rep_id", "dup_count"))
+
+
+_SQL_DOC_DEDUP = """
+    SELECT CAST(min(doc_id) AS BIGINT) AS rep_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY text
+"""
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: tokens = spaces + 1 (documents are space-joined
+    word sequences) — pure arithmetic, identical in SQL."""
+    docs = _read(spark, sf_dir, "documents")
+    n_tokens = (F.length("text")
+                - F.length(F.regexp_replace("text", " ", "")) + 1)
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"))
+
+
+_SQL_DOC_TOKENS = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1
+                AS BIGINT) AS n_tokens
+    FROM documents
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple quality signals: char count, token count, short-doc flag,
+    mean token length scaled x100 (integer arithmetic keeps the oracle
+    hash exact)."""
+    docs = _read(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = (n_chars - F.length(F.regexp_replace("text", " ", "")) + 1)
+    mean_tok_x100 = F.floor((n_chars - (n_tokens - 1)) * 100 / n_tokens)
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        (n_chars < 100).cast("boolean").alias("is_short"),
+        mean_tok_x100.cast("bigint").alias("mean_token_len_x100"))
+
+
+_SQL_DOC_QUALITY = """
+    WITH s AS (
+        SELECT doc_id, length(text) AS n_chars,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           n_chars < 100 AS is_short,
+           CAST(floor((n_chars - (n_tokens - 1)) * 100 / n_tokens)
+                AS BIGINT) AS mean_token_len_x100
+    FROM s
+"""
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors.
+
+    Dot/norms computed in double via JVM higher-order functions
+    (F.zip_with + F.aggregate); ranking tie-broken by vec_id.  The
+    similarity column is rounded to 4 dp for stable cross-engine hashes.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    vec_d = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      vec_d.alias("v"))
+    queries = base.where(F.col("vec_id") < 10) \
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
+    joined = queries.crossJoin(base.where(
+        F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("n")))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    cos = dot(F.col("q"), F.col("n")) / (
+        F.sqrt(dot(F.col("q"), F.col("q")))
+        * F.sqrt(dot(F.col("n"), F.col("n"))))
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.round("cos", 4).alias("cos_r")))
+
+
+_SQL_ANN_TOPK = """
+    WITH base AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(q.v, n.v),
+                                       x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(n.v, x -> x * x)))) AS cos
+        FROM base q, base n
+        WHERE q.vec_id < 10 AND n.vec_id >= 10),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(cos, 4) AS cos_r
+    FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# reference-parity queries without a SQL oracle (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def hw_distance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Infix (HW) distances — no DuckDB equivalent (rows-only check)."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.substring("text", 10, 40).alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"),
+                    F.col("text").alias("text_b"))
+    return (a.join(b, "id_a")
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    edit_distance(F.col("text_a"), F.col("text_b"), "HW", -1)
+                    .cast("bigint").alias("edit_distance")))
+
+
+def shw_distance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.substring("text", 1, 40).alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"),
+                    F.col("text").alias("text_b"))
+    return (a.join(b, "id_a")
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    edit_distance(F.col("text_a"), F.col("text_b"), "SHW",
+                                  -1)
+                    .cast("bigint").alias("edit_distance")))
+
+
+def align_path_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full alignment results (locations + CIGAR) for adjacent doc pairs
+    (task='path'; no SQL equivalent)."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.col("text").alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"),
+                    F.col("text").alias("text_b"))
+    joined = a.join(b, "id_a").where(F.col("id_b") < 50)
+    res = align_expr(F.col("text_a"), F.col("text_b"), mode="NW",
+                     task="path")
+    return (joined.select(F.col("id_a").cast("bigint").alias("id_a"),
+                          F.col("id_b").cast("bigint").alias("id_b"),
+                          res.alias("r"))
+            .select("id_a", "id_b",
+                    F.col("r.editDistance").cast("bigint")
+                     .alias("edit_distance"),
+                    F.col("r.cigar").alias("cigar"),
+                    F.col("r.locations").getItem(0).getField("end")
+                     .cast("bigint").alias("end_location")))
+
+
+def minhash_blocks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    canon = docs.select(F.col("doc_id").cast("string").alias("conv_id"),
+                        F.col("text").alias("full_text"))
+    return minhash_blocks(canon, num_hashes=16, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# flagship synthetic-transcript queries (oracle via read_parquet)
+# ---------------------------------------------------------------------------
+
+def transcripts_canonical_small(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    path = ensure_transcripts_parquet(spark, "small")
+    t = spark.read.parquet(path)
+    return (canonicalize(t, sep=SEP)
+            .select("conv_id", "full_text",
+                    F.col("n_turns").cast("bigint").alias("n_turns"),
+                    F.col("text_len").cast("bigint").alias("text_len")))
+
+
+def _sql_transcripts_canonical_small() -> str:
+    path = transcripts_path("small")
+    return f"""
+        SELECT conv_id,
+               string_agg(coalesce(text, ''), '{SEP}'
+                          ORDER BY turn_idx) AS full_text,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(length(string_agg(coalesce(text, ''), '{SEP}'
+                                      ORDER BY turn_idx)) AS BIGINT)
+                   AS text_len
+        FROM read_parquet('{path}/*.parquet')
+        GROUP BY conv_id
+    """
+
+
+def transcripts_clusters_small(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Flagship: full linkage pipeline on the synthetic transcripts
+    (rows-only check: blocking/scoring pipeline is not SQL-expressible)."""
+    from .plans.linkage import LinkageConfig, run_linkage
+    path = ensure_transcripts_parquet(spark, "small")
+    t = spark.read.parquet(path)
+    return run_linkage(t, LinkageConfig())["clusters"]
+
+
+def build_queries():
+    return {
+        "canonical_conversations": canonical_conversations,
+        "length_blocks": length_blocks,
+        "candidate_pairs": candidate_pairs_events,
+        "scored_pairs_nw": scored_pairs_events,
+        "match_edges": match_edges_events,
+        "clusters": clusters_events,
+        "nw_distance_customer": nw_distance_customer,
+        "nw_distance_documents": nw_distance_documents,
+        "nw_distance_documents_k": nw_distance_documents_k,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_token_stats": doc_token_stats,
+        "doc_quality": doc_quality,
+        "ann_cosine_topk": ann_cosine_topk,
+        "hw_distance_documents": hw_distance_documents,
+        "shw_distance_documents": shw_distance_documents,
+        "align_path_documents": align_path_documents,
+        "minhash_blocks_documents": minhash_blocks_documents,
+        "transcripts_canonical_small": transcripts_canonical_small,
+        "transcripts_clusters_small": transcripts_clusters_small,
+    }
+
+
+def build_oracle_sql():
+    return {
+        "canonical_conversations": _SQL_CANONICAL,
+        "length_blocks": _SQL_LENGTH_BLOCKS,
+        "candidate_pairs": _SQL_PAIRS,
+        "scored_pairs_nw": _SQL_SCORED,
+        "match_edges": _SQL_EDGES,
+        "clusters": _SQL_CLUSTERS,
+        "nw_distance_customer": _SQL_NW_CUSTOMER,
+        "nw_distance_documents": _SQL_NW_DOCUMENTS,
+        "nw_distance_documents_k": _SQL_NW_DOCUMENTS_K,
+        "doc_exact_dedup": _SQL_DOC_DEDUP,
+        "doc_token_stats": _SQL_DOC_TOKENS,
+        "doc_quality": _SQL_DOC_QUALITY,
+        "ann_cosine_topk": _SQL_ANN_TOPK,
+        "transcripts_canonical_small": _sql_transcripts_canonical_small(),
+        # hw/shw/path/minhash/clusters_small: no SQL equivalent
+        # (rows-only checks)
+    }

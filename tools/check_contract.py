@@ -1,0 +1,110 @@
+"""Local emulation of the driver's correctness gate: runs every
+queries() entry on Spark and its oracle_sql() on DuckDB against the same
+sf dir, comparing row count, column names, and an order-insensitive
+value hash (columns sorted by name, rows sorted, values stringified).
+
+Usage: python tools/check_contract.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def norm_value(v):
+    import datetime
+    import math
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return str(v)
+
+
+def frame_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(norm_value(r[i]) for i in order)
+                   for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from edlib_spark.session import get_spark
+
+    spark = get_spark("contract-check", master="local[8]",
+                      shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, SF_DIR)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        dt = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows ({dt:.1f}s) "
+                  f"[no oracle]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        sh = frame_hash(scols, srows)
+        dh = frame_hash(dcols, drows)
+        ok_hash = sh == dh
+        status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{status}  {name}: spark={len(srows)} duck={len(drows)} "
+              f"cols={'=' if ok_cols else f'{scols} vs {dcols}'} "
+              f"hash={'=' if ok_hash else f'{sh} vs {dh}'} ({dt:.1f}s)")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
