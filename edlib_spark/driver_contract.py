@@ -397,9 +397,124 @@ _SQL_ANN_TOPK = """
 """
 
 
+def top_similar_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar adjacent doc pairs — the reference CLI's
+    top-N best-scores feature (apps/aligner/aligner.cpp:153,181-195) as
+    ORDER BY dist LIMIT N (TakeOrderedAndProject; deterministic
+    tie-break on ids)."""
+    return (nw_distance_documents(spark, sf_dir)
+            .orderBy("edit_distance", "id_a", "id_b").limit(20))
+
+
+_SQL_TOP_SIMILAR = f"""
+    SELECT * FROM ({_SQL_NW_DOCUMENTS})
+    ORDER BY edit_distance, id_a, id_b LIMIT 20
+"""
+
+
+def query_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One query text vs the whole corpus — the reference CLI's
+    1-query-vs-target loop (aligner.cpp:147-225) as a broadcast
+    crossJoin + batched scorer."""
+    docs = _read(spark, sf_dir, "documents")
+    query = docs.where(F.col("doc_id") == 0) \
+        .select(F.col("text").alias("qtext"))
+    return (docs.crossJoin(F.broadcast(query))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    edit_distance(F.col("qtext"), F.col("text"), "NW", -1)
+                    .cast("bigint").alias("edit_distance")))
+
+
+_SQL_QUERY_VS_CORPUS = """
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(levenshtein(q.text, d.text) AS BIGINT) AS edit_distance
+    FROM documents d, (SELECT text FROM documents WHERE doc_id = 0) q
+"""
+
+
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram overlap for adjacent doc pairs (integer counts keep
+    the oracle hash exact; Jaccard = inter/union downstream)."""
+    from .operators.textops import ngram_set
+    docs = _read(spark, sf_dir, "documents")
+    grams = docs.select(F.col("doc_id"), ngram_set(F.col("text")).alias("g"))
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = grams.select((F.col("doc_id") - 1).alias("id_a"),
+                     F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    return (a.join(b, "id_a")
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    F.size(F.array_intersect("ga", "gb")).cast("bigint")
+                     .alias("inter_count"),
+                    F.size(F.array_union("ga", "gb")).cast("bigint")
+                     .alias("union_count")))
+
+
+_SQL_NGRAM_JACCARD = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t != '') AS tk
+        FROM documents),
+    grams AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   list_transform(
+                       range(1, greatest(len(tk) - 3, 0) + 2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+                   AS g
+        FROM toks)
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS inter_count,
+           CAST(len(list_distinct(list_concat(a.g, b.g))) AS BIGINT)
+               AS union_count
+    FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # reference-parity queries without a SQL oracle (rows-only checks)
 # ---------------------------------------------------------------------------
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID (rows-only: heuristic op)."""
+    from .operators.textops import lang_id
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       lang_id(F.col("text")).alias("lang_pred"))
+
+
+def doc_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup banding keys (rows-only)."""
+    from .operators.textops import simhash, simhash_band_keys
+    docs = _read(spark, sf_dir, "documents")
+    return (docs
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    simhash(F.col("text")).alias("simhash"))
+            .select("doc_id", "simhash",
+                    F.explode(simhash_band_keys(F.col("simhash")))
+                    .alias("band_key")))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash document fingerprint (rows-only)."""
+    from .operators.textops import rolling_fingerprint
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       rolling_fingerprint(F.col("text"))
+                       .alias("fingerprint"))
+
+
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per embedding — the scale path for
+    ANN (bucket-join instead of brute force; rows-only)."""
+    from .operators.textops import embedding_lsh_key
+    emb = _read(spark, sf_dir, "embeddings")
+    return emb.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      embedding_lsh_key(F.col("embedding"))
+                      .cast("bigint").alias("bucket"))
 
 def hw_distance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Infix (HW) distances — no DuckDB equivalent (rows-only check)."""
@@ -514,7 +629,14 @@ def build_queries():
         "doc_exact_dedup": doc_exact_dedup,
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
+        "top_similar_documents": top_similar_documents,
+        "query_vs_corpus": query_vs_corpus,
         "ann_cosine_topk": ann_cosine_topk,
+        "doc_lang_id": doc_lang_id,
+        "doc_simhash_buckets": doc_simhash_buckets,
+        "doc_fingerprint": doc_fingerprint,
+        "embedding_lsh_buckets": embedding_lsh_buckets,
         "hw_distance_documents": hw_distance_documents,
         "shw_distance_documents": shw_distance_documents,
         "align_path_documents": align_path_documents,
@@ -538,6 +660,9 @@ def build_oracle_sql():
         "doc_exact_dedup": _SQL_DOC_DEDUP,
         "doc_token_stats": _SQL_DOC_TOKENS,
         "doc_quality": _SQL_DOC_QUALITY,
+        "doc_ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "top_similar_documents": _SQL_TOP_SIMILAR,
+        "query_vs_corpus": _SQL_QUERY_VS_CORPUS,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "transcripts_canonical_small": _sql_transcripts_canonical_small(),
         # hw/shw/path/minhash/clusters_small: no SQL equivalent
