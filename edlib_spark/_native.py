@@ -1,0 +1,318 @@
+"""Optional cffi-compiled inner loop for the batch distance kernel.
+
+The numpy batch kernel (edlib_spark.batch) amortizes Python overhead
+across pairs but still pays ~0.3-1.5ms/pair on transcript-sized strings.
+This module JIT-compiles (once, cached on disk) a small C implementation
+of the *same algorithm* — banded Myers bit-vector scan with per-pair k,
+score-maintained Ukkonen band (extend while the bottom cell <= k, shrink
+while a boundary block's bottom cell >= k+64), in-flight k tightening,
+bottom-row popcount correction and band-death early exit — and runs it
+per pair directly over raw codepoint buffers (per-pair alphabet mapping
+happens in C via a generation-stamped table, like the reference's
+transformSequences but without the 256-symbol cap for BMP text).
+
+Results are bit-identical to the numpy path (the differential tests run
+both).  This is an implementation of the published Myers 1999 bit-vector
+algorithm with Ukkonen banding written from scratch for this engine —
+NOT a copy of the reference C++ (semantics cross-checked against the
+reference suite via the Python kernels).
+
+Degrades gracefully: if cffi or a C compiler is unavailable the import
+leaves ``lib = None`` and callers keep the pure-numpy path; pairs with
+non-BMP codepoints return a sentinel and are re-scored by numpy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+UNSUPPORTED = -2147483648  # INT32_MIN sentinel: pair needs the numpy path
+
+_SOURCE = r"""
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+typedef uint64_t word;
+#define WBITS 64
+#define BMP 65536
+#define UNSUPPORTED INT32_MIN
+
+/* One Myers bit-parallel block step; returns carry in {-1,0,1}. */
+static inline int step_block(word *pv, word *mv, word eq, int hin) {
+    word pvv = *pv, mvv = *mv;
+    word xv = eq | mvv;
+    if (hin < 0) eq |= 1ULL;
+    word xh = (((eq & pvv) + pvv) ^ pvv) | eq;
+    word ph = mvv | ~(xh | pvv);
+    word mh = pvv & xh;
+    int hout = (int)(ph >> (WBITS - 1)) - (int)(mh >> (WBITS - 1));
+    ph <<= 1; mh <<= 1;
+    if (hin < 0) mh |= 1ULL;
+    else if (hin > 0) ph |= 1ULL;
+    *pv = mh | ~(xv | ph);
+    *mv = ph & xv;
+    return hout;
+}
+
+typedef struct {
+    int32_t *map;       /* BMP codepoint -> dense symbol id */
+    int64_t *stamp;     /* generation stamps (avoids per-pair memset) */
+    int64_t gen;
+    int32_t *qs, *ts;   /* recoded scratch */
+    word *peq, *pv, *mv;
+    int64_t *score;
+    int64_t cap_nb, cap_sigma, cap_q, cap_t;
+} scratch;
+
+/* Distance for one pair of raw codepoint sequences.
+   mode: 0=NW, 1=SHW, 2=HW.  Returns distance, -1 if > k, or
+   UNSUPPORTED when a codepoint is outside the BMP. */
+static int32_t pair_distance(const uint32_t *q, int64_t qlen,
+                             const uint32_t *t, int64_t tlen,
+                             int64_t k, int mode, scratch *s) {
+    if (qlen == 0 || tlen == 0) {
+        int64_t d = (mode == 0) ? (qlen > tlen ? qlen : tlen) : qlen;
+        return (k < 0 || d <= k) ? (int32_t)d : -1;
+    }
+    if (k < 0) k = (mode == 0) ? (qlen > tlen ? qlen : tlen) : qlen;
+    if (mode == 2 && k > qlen) k = qlen;
+    if (mode == 0) {
+        int64_t diff = qlen > tlen ? qlen - tlen : tlen - qlen;
+        if (k < diff) return -1;
+    }
+
+    /* per-pair alphabet inference (generation-stamped map) */
+    s->gen++;
+    int32_t sigma = 0;
+    for (int64_t i = 0; i < qlen; i++) {
+        uint32_t c = q[i];
+        if (c >= BMP) return UNSUPPORTED;
+        if (s->stamp[c] != s->gen) { s->stamp[c] = s->gen;
+                                     s->map[c] = sigma++; }
+        s->qs[i] = s->map[c];
+    }
+    for (int64_t i = 0; i < tlen; i++) {
+        uint32_t c = t[i];
+        if (c >= BMP) return UNSUPPORTED;
+        if (s->stamp[c] != s->gen) { s->stamp[c] = s->gen;
+                                     s->map[c] = sigma++; }
+        s->ts[i] = s->map[c];
+    }
+
+    int64_t nb = (qlen + WBITS - 1) / WBITS;
+    if (sigma > s->cap_sigma || nb > s->cap_nb) return UNSUPPORTED;
+
+    word *peq = s->peq;
+    memset(peq, 0, (size_t)(sigma * nb) * sizeof(word));
+    for (int64_t r = 0; r < qlen; r++)
+        peq[(int64_t)s->qs[r] * nb + (r >> 6)] |= 1ULL << (r & 63);
+    int64_t w = nb * WBITS - qlen;
+    if (w > 0) {
+        word padmask = ~0ULL << (WBITS - w);
+        for (int32_t c = 0; c < sigma; c++) peq[c * nb + nb - 1] |= padmask;
+    }
+    word topw = (w > 0) ? (~0ULL << (WBITS - w)) : 0ULL;
+
+    word *pv = s->pv, *mv = s->mv;
+    int64_t *score = s->score;
+    int64_t bl = (k >> 6); if (bl > nb - 1) bl = nb - 1;
+    int64_t bf = 0;
+    for (int64_t b = 0; b <= bl; b++) {
+        pv[b] = ~0ULL; mv[b] = 0ULL; score[b] = (b + 1) * WBITS;
+    }
+    int start_h = (mode == 2) ? 0 : 1;
+    int64_t best = INT64_MAX;
+    int64_t orig_k = k;
+
+    for (int64_t j = 0; j < tlen; j++) {
+        const word *pq = peq + (int64_t)s->ts[j] * nb;
+        int h = start_h;
+        for (int64_t b = bf; b <= bl; b++) {
+            h = step_block(&pv[b], &mv[b], pq[b], h);
+            score[b] += h;
+        }
+
+        if (mode == 0) {
+            /* in-flight k tightening: the final cell is at most this
+               bottom-of-band cell plus the remaining rows/columns */
+            int64_t rem_t = tlen - j - 1;
+            int64_t rem_q = qlen - ((bl + 1) * WBITS - 1) - 1;
+            int64_t cap = score[bl] + (rem_t > rem_q ? rem_t : rem_q)
+                          + (bl == nb - 1 ? w : 0);
+            if (cap < k) k = cap;
+        }
+
+        /* extend band down while the bottom cell can still seed <= k */
+        if (bl < nb - 1 && score[bl] <= k) {
+            bl++;
+            pv[bl] = ~0ULL; mv[bl] = 0ULL;
+            score[bl] = score[bl - 1] + WBITS;
+        }
+        /* shrink from the bottom */
+        while (bl >= bf && score[bl] >= k + WBITS) bl--;
+        /* shrink from the top (HW restarts at the boundary: keep bf=0) */
+        if (mode != 2) {
+            while (bf <= bl && score[bf] >= k + WBITS) bf++;
+        } else if (bl < 0) {
+            bl = 0;   /* HW: first block is always a candidate */
+        }
+        if (bl < bf) {   /* band died: remaining cells provably > k */
+            if (mode == 0) return -1;
+            return (best <= orig_k) ? (int32_t)best : -1;
+        }
+
+        if (bl < nb - 1) continue;
+        int64_t lrow = score[nb - 1]
+            - __builtin_popcountll(pv[nb - 1] & topw)
+            + __builtin_popcountll(mv[nb - 1] & topw);
+        if (mode == 0) {
+            if (j == tlen - 1) return (lrow <= k) ? (int32_t)lrow : -1;
+        } else {
+            if (lrow < best) {
+                best = lrow;
+                if (best < k) k = best;  /* look only for improvements */
+            }
+            if (best == 0) break;
+        }
+    }
+    if (mode == 0) return -1;
+    return (best <= orig_k) ? (int32_t)best : -1;
+}
+
+int batch_distance(const uint32_t *qbuf, const int64_t *qstart,
+                   const int64_t *qlens,
+                   const uint32_t *tbuf, const int64_t *tstart,
+                   const int64_t *tlens,
+                   const int64_t *ks, int64_t n, int mode,
+                   int32_t *out) {
+    int64_t max_nb = 1, max_q = 1, max_t = 1;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t ql = qlens[i];
+        int64_t tl = tlens[i];
+        int64_t nb = (ql + WBITS - 1) / WBITS;
+        if (nb > max_nb) max_nb = nb;
+        if (ql > max_q) max_q = ql;
+        if (tl > max_t) max_t = tl;
+    }
+    scratch s;
+    s.cap_nb = max_nb;
+    s.cap_sigma = BMP;
+    s.cap_q = max_q; s.cap_t = max_t;
+    s.gen = 0;
+    s.map = (int32_t *)malloc(BMP * sizeof(int32_t));
+    s.stamp = (int64_t *)calloc(BMP, sizeof(int64_t));
+    s.qs = (int32_t *)malloc((size_t)max_q * sizeof(int32_t));
+    s.ts = (int32_t *)malloc((size_t)max_t * sizeof(int32_t));
+    /* peq sized for 512 symbols; larger alphabets grow on demand */
+    int64_t peq_sigma = 512;
+    s.peq = (word *)malloc((size_t)(peq_sigma * max_nb) * sizeof(word));
+    s.pv = (word *)malloc((size_t)max_nb * sizeof(word));
+    s.mv = (word *)malloc((size_t)max_nb * sizeof(word));
+    s.score = (int64_t *)malloc((size_t)max_nb * sizeof(int64_t));
+    if (!s.map || !s.stamp || !s.qs || !s.ts || !s.peq || !s.pv || !s.mv
+        || !s.score) {
+        free(s.map); free(s.stamp); free(s.qs); free(s.ts); free(s.peq);
+        free(s.pv); free(s.mv); free(s.score);
+        return -1;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        int64_t ql = qlens[i];
+        int64_t tl = tlens[i];
+        /* alphabet can't exceed ql + tl; grow peq when needed */
+        int64_t need = ql + tl < BMP ? ql + tl : BMP;
+        if (need > peq_sigma) {
+            while (peq_sigma < need) peq_sigma *= 2;
+            word *np_ = (word *)realloc(
+                s.peq, (size_t)(peq_sigma * max_nb) * sizeof(word));
+            if (!np_) { out[i] = UNSUPPORTED; continue; }
+            s.peq = np_;
+        }
+        s.cap_sigma = peq_sigma;
+        out[i] = pair_distance(qbuf + qstart[i], ql, tbuf + tstart[i],
+                               tl, ks[i], mode, &s);
+    }
+    free(s.map); free(s.stamp); free(s.qs); free(s.ts); free(s.peq);
+    free(s.pv); free(s.mv); free(s.score);
+    return 0;
+}
+"""
+
+_CDEF = """
+int batch_distance(const uint32_t *qbuf, const int64_t *qstart,
+                   const int64_t *qlens,
+                   const uint32_t *tbuf, const int64_t *tstart,
+                   const int64_t *tlens,
+                   const int64_t *ks, int64_t n, int mode,
+                   int32_t *out);
+"""
+
+lib = None
+ffi = None
+
+
+def _build():
+    global lib, ffi
+    try:
+        from cffi import FFI
+    except ImportError:
+        return
+    try:
+        tag = hashlib.sha256(_SOURCE.encode()).hexdigest()[:12]
+        cache = os.path.join(os.path.expanduser("~"), ".cache",
+                             "edlib_spark_native", tag)
+        os.makedirs(cache, exist_ok=True)
+        builder = FFI()
+        builder.cdef(_CDEF)
+        modname = f"_edlib_spark_native_{tag}"
+        so_candidates = [fn for fn in os.listdir(cache)
+                         if fn.startswith(modname) and fn.endswith(".so")]
+        if not so_candidates:
+            builder.set_source(modname, _SOURCE,
+                               extra_compile_args=["-O3", "-march=native"])
+            builder.compile(tmpdir=cache, verbose=False)
+            so_candidates = [fn for fn in os.listdir(cache)
+                             if fn.startswith(modname)
+                             and fn.endswith(".so")]
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            modname, os.path.join(cache, so_candidates[0]))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        lib = mod.lib
+        ffi = mod.ffi
+    except Exception:  # noqa: BLE001 — any failure => numpy fallback
+        lib = None
+        ffi = None
+
+
+_build()
+
+
+def native_batch_distance(q_flat, q_start, q_lens, t_flat, t_start,
+                          t_lens, ks, mode: str):
+    """Run the native kernel over flat uint32 codepoint buffers with
+    per-pair (start, len) views — no copying or recoding in Python.
+    Returns int32 results (UNSUPPORTED sentinel per unhandled pair), or
+    None when the native library is unavailable."""
+    import numpy as np
+
+    if lib is None:
+        return None
+    n = len(q_lens)
+    out = np.empty(n, dtype=np.int32)
+    mode_id = {"NW": 0, "SHW": 1, "HW": 2}[mode]
+    rc = lib.batch_distance(
+        ffi.cast("const uint32_t *", q_flat.ctypes.data),
+        ffi.cast("const int64_t *", q_start.ctypes.data),
+        ffi.cast("const int64_t *", q_lens.ctypes.data),
+        ffi.cast("const uint32_t *", t_flat.ctypes.data),
+        ffi.cast("const int64_t *", t_start.ctypes.data),
+        ffi.cast("const int64_t *", t_lens.ctypes.data),
+        ffi.cast("const int64_t *", ks.ctypes.data),
+        n, mode_id,
+        ffi.cast("int32_t *", out.ctypes.data))
+    if rc != 0:
+        return None
+    return out

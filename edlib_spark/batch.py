@@ -62,11 +62,27 @@ def encode_strings(strings) -> tuple[list, np.ndarray]:
     return codes, lens
 
 
-def batch_edit_distance(queries, targets, mode: str = "NW", k=-1):
+def encode_flat(strings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-shot flat encoding: (codepoint buffer, per-string start,
+    per-string length).  A single join+encode is ~10x cheaper than
+    per-string numpy conversion."""
+    lens = np.fromiter((len(s) if s is not None else 0 for s in strings),
+                       dtype=np.int64, count=len(strings))
+    joined = "".join(s for s in strings if s) if len(strings) else ""
+    buf = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    start = np.zeros(len(strings), dtype=np.int64)
+    if len(strings) > 1:
+        np.cumsum(lens[:-1], out=start[1:])
+    return buf, start, lens
+
+
+def batch_edit_distance(queries, targets, mode: str = "NW", k=-1,
+                        use_native: bool = True):
     """Edit distances for N (query, target) pairs; -1 where distance > k.
 
     ``queries``/``targets``: sequences of str (None treated as "").
     ``k``: scalar or array of per-pair bounds; negative = unbounded.
+    ``use_native``: try the cffi-compiled scan first (same results).
     Returns an int32 array of length N.
     """
     if mode not in ("NW", "SHW", "HW"):
@@ -78,8 +94,9 @@ def batch_edit_distance(queries, targets, mode: str = "NW", k=-1):
     if n == 0:
         return out
 
-    q_codes, q_lens = encode_strings(queries)
-    t_codes, t_lens = encode_strings(targets)
+    q_buf, q_start, q_lens = encode_flat(queries)
+    t_buf, t_start, t_lens = encode_flat(targets)
+    q_codes = t_codes = None  # built lazily for the numpy path
     k_arr = np.broadcast_to(np.asarray(k, dtype=np.int64), (n,)).copy()
 
     # unbounded => cap at the largest possible distance for the mode
@@ -109,7 +126,28 @@ def batch_edit_distance(queries, targets, mode: str = "NW", k=-1):
     if len(todo) == 0:
         return out
 
-    # global recode to a dense alphabet for this batch
+    # fast path: cffi-compiled per-pair scan (bit-identical algorithm;
+    # per-pair alphabet mapping happens in C over the raw codepoint
+    # buffers — no Python-side recode at all)
+    if use_native:
+        from . import _native
+        if _native.lib is not None:
+            got = _native.native_batch_distance(
+                q_buf, np.ascontiguousarray(q_start[todo]),
+                np.ascontiguousarray(q_lens[todo]),
+                t_buf, np.ascontiguousarray(t_start[todo]),
+                np.ascontiguousarray(t_lens[todo]),
+                np.ascontiguousarray(k_arr[todo]), mode)
+            if got is not None:
+                ok = got != _native.UNSUPPORTED
+                out[todo[ok]] = got[ok]
+                todo = todo[~ok]  # non-BMP pairs drop to the numpy path
+                if len(todo) == 0:
+                    return out
+
+    # numpy path: global recode to a dense alphabet for this batch
+    q_codes = [q_buf[q_start[i]:q_start[i] + q_lens[i]] for i in range(n)]
+    t_codes = [t_buf[t_start[i]:t_start[i] + t_lens[i]] for i in range(n)]
     all_codes = np.concatenate(
         [q_codes[i] for i in todo] + [t_codes[i] for i in todo])
     alphabet = np.unique(all_codes)

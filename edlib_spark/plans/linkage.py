@@ -24,13 +24,19 @@ from .catalog import RunCatalog
 class LinkageConfig:
     tau: float = 0.2                 # match threshold on normalized NW dist
     mode: str = "NW"
-    # blocking
-    use_minhash: bool = True
+    # blocking.  Measured on the medium fixture (4954 true pairs,
+    # ~5k convs): structural (n_turns, geometric length band) at
+    # band_tau=0.04 -> recall 1.000 at 313k candidates; minhash LSH
+    # (H=16,b=8) -> recall 0.796 at 868k candidates (shared-vocab text
+    # makes ngram Jaccard of unrelated docs high), so minhash is OFF by
+    # default for transcripts and kept as a strategy for corpora where
+    # length bands are uninformative.
+    use_minhash: bool = False
     minhash_hashes: int = 16
     minhash_bands: int = 8
     ngram: int = 5
     use_structural: bool = True      # (n_turns, length-band) key
-    band_tau: float = 0.1            # width of structural length bands
+    band_tau: float = 0.04           # width of structural length bands
     # skew
     hot_block_threshold: int = 256
     salt_group_size: int = 128
@@ -69,19 +75,28 @@ def run_linkage(transcripts: DataFrame, cfg: LinkageConfig | None = None,
     """
     cfg = cfg or LinkageConfig()
 
-    def _stage(name, build):
+    def _stage(name, build, reused=False):
         if catalog is not None:
             return catalog.stage(name, build)
-        return build()
+        df = build()
+        if reused:
+            # without a checkpoint catalog, pin stages that downstream
+            # consumers would otherwise recompute (the scorer UDF must
+            # run exactly once; CC iterates over the edge set)
+            df = df.localCheckpoint(eager=False)
+        return df
 
-    canon = _stage("canonical", lambda: canonicalize(transcripts))
+    canon = _stage("canonical", lambda: canonicalize(transcripts),
+                   reused=True)
     blocks = _stage("blocks", lambda: build_blocks(canon, cfg))
     pairs = _stage("candidate_pairs",
                    lambda: candidate_pairs(blocks, cfg.hot_block_threshold,
                                            cfg.salt_group_size))
     scored = _stage("scored_pairs",
-                    lambda: score_pairs(pairs, canon, cfg.tau, cfg.mode))
-    edges = _stage("edges", lambda: match_edges(scored, cfg.tau))
+                    lambda: score_pairs(pairs, canon, cfg.tau, cfg.mode),
+                    reused=True)
+    edges = _stage("edges", lambda: match_edges(scored, cfg.tau),
+                   reused=True)
     clusters = _stage("clusters",
                       lambda: cluster_assignments(canon, edges))
     return {"canonical": canon, "blocks": blocks, "pairs": pairs,
