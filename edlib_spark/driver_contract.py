@@ -30,8 +30,15 @@ from .operators.clustering import cluster_assignments
 from .operators.pairs import candidate_pairs
 from .sources.transcripts import ensure_transcripts_parquet, transcripts_path
 
-SEP = "␞"
+# ASCII record separator: 1 byte == 1 char, so DuckDB's byte-based
+# levenshtein() agrees with the kernel's codepoint-based distances.
+SEP = "\x1e"
 TAU = 0.2
+# Looser threshold for the edge/cluster queries: event-derived
+# conversations have min normalized distance ~0.33, so TAU=0.2 yields an
+# empty (trivially matching) edge set; 0.36 produces real edges and
+# exercises the CC fixpoint against the recursive SQL oracle.
+TAU_EDGE = 0.36
 BAND_W = 64  # fixed-width length band for the SQL-checked blocking query
 
 
@@ -120,7 +127,8 @@ _SQL_PAIRS = f"""
 """
 
 
-def scored_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scored_pairs_events(spark: SparkSession, sf_dir: str,
+                        tau: float = TAU) -> DataFrame:
     pairs = candidate_pairs_events(spark, sf_dir)
     canon = canonical_conversations(spark, sf_dir)
     a = canon.select(F.col("conv_id").alias("id_a"),
@@ -131,7 +139,7 @@ def scored_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("text_len").alias("len_b"))
     df = pairs.join(a, "id_a").join(b, "id_b")
     max_len = F.greatest("len_a", "len_b")
-    k = F.ceil(F.lit(TAU) * max_len).cast("int")
+    k = F.ceil(F.lit(tau) * max_len).cast("int")
     df = df.where(F.abs(F.col("len_a") - F.col("len_b")) <= k)
     return df.select(
         "id_a", "id_b",
@@ -141,37 +149,41 @@ def scored_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("edit_distance"))
 
 
-_SQL_SCORED = f"""
+def _sql_scored(tau: float) -> str:
+    return f"""
     WITH c AS ({_SQL_CANONICAL}), p AS ({_SQL_PAIRS})
     SELECT p.id_a, p.id_b,
            CAST(a.text_len AS BIGINT) AS len_a,
            CAST(b.text_len AS BIGINT) AS len_b,
            CAST(CASE WHEN levenshtein(a.full_text, b.full_text)
-                          <= CAST(ceil({TAU} * greatest(a.text_len,
+                          <= CAST(ceil({tau} * greatest(a.text_len,
                                                         b.text_len)) AS INT)
                      THEN levenshtein(a.full_text, b.full_text)
                      ELSE -1 END AS BIGINT) AS edit_distance
     FROM p JOIN c a ON p.id_a = a.conv_id
            JOIN c b ON p.id_b = b.conv_id
     WHERE abs(a.text_len - b.text_len)
-          <= CAST(ceil({TAU} * greatest(a.text_len, b.text_len)) AS INT)
+          <= CAST(ceil({tau} * greatest(a.text_len, b.text_len)) AS INT)
 """
 
 
+_SQL_SCORED = _sql_scored(TAU)
+
+
 def match_edges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = scored_pairs_events(spark, sf_dir)
+    scored = scored_pairs_events(spark, sf_dir, tau=TAU_EDGE)
     max_len = F.greatest("len_a", "len_b")
     return (scored
             .where((F.col("edit_distance") >= 0)
-                   & (F.col("edit_distance") <= F.lit(TAU) * max_len))
+                   & (F.col("edit_distance") <= F.lit(TAU_EDGE) * max_len))
             .select("id_a", "id_b"))
 
 
 _SQL_EDGES = f"""
-    WITH s AS ({_SQL_SCORED})
+    WITH s AS ({_sql_scored(TAU_EDGE)})
     SELECT id_a, id_b FROM s
     WHERE edit_distance >= 0
-      AND edit_distance <= {TAU} * greatest(len_a, len_b)
+      AND edit_distance <= {TAU_EDGE} * greatest(len_a, len_b)
 """
 
 
@@ -577,6 +589,183 @@ def minhash_blocks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# near-duplicate detection (dedup family)
+# ---------------------------------------------------------------------------
+
+def doc_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact char-5-gram Jaccard >= 0.8
+    verification; oracle = exhaustive all-pairs Jaccard in SQL (LSH miss
+    probability ~2e-4 per true pair at j=0.9; verified exact on this
+    data)."""
+    from .operators.dedup import minhash_neardup_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_neardup_pairs(docs, num_hashes=32, bands=8, ngram=5,
+                                 tau_pct=80)
+
+
+_SQL_MINHASH_NEARDUP = """
+    WITH sh AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   [text[i:i+4] FOR i IN
+                    range(1, greatest(length(text) - 4, 1) + 1)])) AS g
+        FROM documents)
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS inter_count,
+           CAST(len(list_distinct(list_concat(a.g, b.g))) AS BIGINT)
+               AS union_count
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.g, b.g)) * 100
+          >= 80 * len(list_distinct(list_concat(a.g, b.g)))
+"""
+
+
+def doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 via band-key join; complete
+    for hamming <= bands-1).  Rows-only: Spark xxhash64 has no DuckDB
+    equivalent."""
+    from .operators.dedup import simhash_neardup_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, bands=4, max_hamming=3)
+
+
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.45, exact)."""
+    from .operators.dedup import cosine_neardup_pairs
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.45)
+
+
+_SQL_COSINE_NEARDUP = """
+    WITH base AS (
+        SELECT CAST(vec_id AS BIGINT) AS vid,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+    scored AS (
+        SELECT a.vid AS id_a, b.vid AS id_b,
+               list_sum(list_transform(list_zip(a.v, b.v),
+                                       x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+        FROM base a JOIN base b ON a.vid < b.vid)
+    SELECT id_a, id_b, round(cos, 4) AS cos_r
+    FROM scored WHERE cos >= 0.45
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the 100 TB scale path for ann_cosine_topk):
+    neighbors are ranked only within the query's random-hyperplane
+    bucket — bucket equi-join instead of cross join.  Rows-only check
+    (approximate by construction)."""
+    from .operators.dedup import cosine as cosine_expr
+    from .operators.textops import embedding_lsh_key
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.col("embedding").alias("v"),
+                      embedding_lsh_key(F.col("embedding"), num_planes=4)
+                      .alias("bucket"))
+    queries = base.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), "bucket")
+    neighbors = base.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("n"),
+        "bucket")
+    scored = (queries.join(neighbors, "bucket")
+              .select("query_id", "neighbor_id",
+                      cosine_expr(F.col("q"), F.col("n")).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.round("cos", 4).alias("cos_r")))
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary columns (decode / features / frame-sample / resize)
+# ---------------------------------------------------------------------------
+
+def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media payloads (synthesized JVM-side from documents)
+    decoded via Arrow-batched mapInPandas; the oracle recomputes the
+    same metadata arithmetic from documents in SQL, verifying the
+    encode -> binary -> decode round trip byte-for-byte."""
+    from .operators.multimodal import decode_media, media_from_documents
+    docs = _read(spark, sf_dir, "documents")
+    return decode_media(media_from_documents(docs))
+
+
+_SQL_MEDIA_META = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST(32 + (doc_id % 8) * 16 AS INT) END AS width,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST(32 + (doc_id % 5) * 24 AS INT) END AS height,
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST(8000 + (doc_id % 4) * 8000 AS INT)
+                END AS sample_rate,
+           CASE WHEN doc_id % 3 = 2
+                THEN CAST(1 + doc_id % 60 AS INT) END AS n_frames,
+           CAST(strlen(text) AS BIGINT) AS n_payload_bytes
+    FROM documents
+"""
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-10th-frame sampling over decoded video metadata (explode of
+    a Catalyst sequence; no Python)."""
+    from .operators.multimodal import (decode_media, media_from_documents,
+                                       sample_frames)
+    docs = _read(spark, sf_dir, "documents")
+    return sample_frames(decode_media(media_from_documents(docs)), every=10)
+
+
+_SQL_FRAME_SAMPLE = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(unnest(range(0, CAST(doc_id % 60 AS BIGINT) + 1, 10))
+                AS INT) AS frame_idx
+    FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning for image media (longer side
+    clamped to 64px; pixel resample itself is the stubbed codec step)."""
+    from .operators.multimodal import (decode_media, media_from_documents,
+                                       resize_images)
+    docs = _read(spark, sf_dir, "documents")
+    return resize_images(decode_media(media_from_documents(docs)),
+                         max_side=64)
+
+
+_SQL_RESIZE_PLAN = """
+    WITH m AS (
+        SELECT doc_id, 32 + (doc_id % 8) * 16 AS w,
+               32 + (doc_id % 5) * 24 AS h
+        FROM documents WHERE doc_id % 3 = 0)
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(greatest(floor(w * least(greatest(w, h), 64)
+                               / greatest(w, h)), 1) AS INT)
+               AS target_width,
+           CAST(greatest(floor(h * least(greatest(w, h), 64)
+                               / greatest(w, h)), 1) AS INT)
+               AS target_height
+    FROM m
+"""
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature vectors per media payload (vectorized
+    numpy inside mapInPandas; rows-only — no SQL byte iteration)."""
+    from .operators.multimodal import extract_features, media_from_documents
+    docs = _read(spark, sf_dir, "documents")
+    return extract_features(media_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
 # flagship synthetic-transcript queries (oracle via read_parquet)
 # ---------------------------------------------------------------------------
 
@@ -641,6 +830,14 @@ def build_queries():
         "shw_distance_documents": shw_distance_documents,
         "align_path_documents": align_path_documents,
         "minhash_blocks_documents": minhash_blocks_documents,
+        "doc_minhash_neardup": doc_minhash_neardup,
+        "doc_simhash_neardup": doc_simhash_neardup,
+        "embedding_cosine_neardup": embedding_cosine_neardup,
+        "ann_lsh_topk": ann_lsh_topk,
+        "media_decode_meta": media_decode_meta,
+        "media_frame_sample": media_frame_sample,
+        "media_resize_plan": media_resize_plan,
+        "media_features": media_features,
         "transcripts_canonical_small": transcripts_canonical_small,
         "transcripts_clusters_small": transcripts_clusters_small,
     }
@@ -664,6 +861,11 @@ def build_oracle_sql():
         "top_similar_documents": _SQL_TOP_SIMILAR,
         "query_vs_corpus": _SQL_QUERY_VS_CORPUS,
         "ann_cosine_topk": _SQL_ANN_TOPK,
+        "doc_minhash_neardup": _SQL_MINHASH_NEARDUP,
+        "embedding_cosine_neardup": _SQL_COSINE_NEARDUP,
+        "media_decode_meta": _SQL_MEDIA_META,
+        "media_frame_sample": _SQL_FRAME_SAMPLE,
+        "media_resize_plan": _SQL_RESIZE_PLAN,
         "transcripts_canonical_small": _sql_transcripts_canonical_small(),
         # hw/shw/path/minhash/clusters_small: no SQL equivalent
         # (rows-only checks)

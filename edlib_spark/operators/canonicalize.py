@@ -12,9 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Record-separator codepoint: joins turns so they can be split back
-# losslessly (it never occurs in transcript text).
-TURN_SEP = "␞"
+# ASCII record separator: joins turns so they can be split back
+# losslessly (it never occurs in transcript text), and stays 1 byte ==
+# 1 char so byte-based external oracles agree with codepoint math.
+TURN_SEP = "\x1e"
 
 
 def canonicalize(transcripts: DataFrame, sep: str = TURN_SEP,
