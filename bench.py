@@ -25,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PAIRS_PATH = "/root/repo/data/bench_pairs_medium.parquet"
+# bench-scale pair table (~15k clusters -> a few million candidate
+# pairs): big enough that the scoring stage is compute-bound and the
+# N-vs-4N scaling measurement is not startup-noise-dominated.
+PAIRS_PATH = "/root/repo/data/bench_pairs_bench.parquet"
+BENCH_SCALE = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "bench")
 
 
 def _sf_value(sf_dir: str) -> float:
@@ -54,11 +58,14 @@ def ensure_bench_pairs(spark):
 
     if os.path.exists(os.path.join(PAIRS_PATH, "_SUCCESS")):
         return
-    tpath = ensure_transcripts_parquet(spark, "medium")
+    tpath = ensure_transcripts_parquet(spark, BENCH_SCALE)
     t = spark.read.parquet(tpath)
     canon = canonicalize(t).cache()
     blocks = build_blocks(canon, LinkageConfig())
-    pairs = candidate_pairs(blocks)
+    # deterministic 1-in-6 pair sample: ~3M of the ~18M bench-scale
+    # candidates — compute-bound for the scaling run yet fast to build
+    pairs = candidate_pairs(blocks).where(
+        F.pmod(F.xxhash64("id_a", "id_b"), F.lit(6)) == 0)
     a = canon.select(F.col("conv_id").alias("id_a"),
                      F.col("full_text").alias("text_a"),
                      F.col("text_len").alias("len_a"))
@@ -66,7 +73,7 @@ def ensure_bench_pairs(spark):
                      F.col("full_text").alias("text_b"),
                      F.col("text_len").alias("len_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
-    joined.repartition(64).write.mode("overwrite").parquet(PAIRS_PATH)
+    joined.repartition(128).write.mode("overwrite").parquet(PAIRS_PATH)
     canon.unpersist()
 
 
@@ -144,9 +151,12 @@ def main():
         scaling = {}
         for tag, ncores in (("N=8", 8), ("4N=32", 32)):
             spark = run_at(f"local[{ncores}]", 64)
-            # warm: JVM + python workers + parquet footer cache
+            # warm: JVM + python workers + parquet footer cache,
+            # then best-of-2 timed runs to shed scheduler noise
             scoring_job(spark)
             secs, n = scoring_job(spark)
+            secs2, _ = scoring_job(spark)
+            secs = min(secs, secs2)
             scaling[tag] = {"cores": ncores, "sec": round(secs, 2),
                             "pairs_per_sec": round(n / secs, 1)}
             spark.stop()

@@ -34,7 +34,13 @@ def get_spark(app_name: str = "edlib-spark", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 2048, not the 10k default: with multi-KB text columns, 10k-row
+        # Arrow batches (~30 MB) collapse JVM->worker feed throughput at
+        # 32-way concurrency (measured 5-20x degradation, worsening per
+        # run); ~6 MB batches pipeline smoothly and cost the kernels
+        # nothing (the native scan is per-pair; numpy amortizes by 2k).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_ARROW_BATCH", "2048"))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
