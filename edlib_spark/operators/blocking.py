@@ -53,25 +53,41 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
     return F.transform(idx, lambda i: text.substr(i, F.lit(n)))
 
 
-def minhash_signature(text: Column, num_hashes: int = 16,
-                      ngram: int = 5, seed: int = 42) -> Column:
-    """Array of ``num_hashes`` minhash values over char n-grams.
-
-    One base xxhash64 per gram, then affine permutations
-    (a_i * h + b_i) mod p — all inside Catalyst ``transform``/
-    ``array_min``; evaluated once per row.
-    """
+def _minhash_coeffs(num_hashes: int, seed: int):
     import random
     rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P))
-              for _ in range(num_hashes)]
-    grams = char_ngrams(text, ngram)
-    base = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(_P)))
+    return [(rnd.randrange(1, _P), rnd.randrange(0, _P))
+            for _ in range(num_hashes)]
+
+
+def minhash_from_base(base_hashes: Column, num_hashes: int = 16,
+                      seed: int = 42) -> Column:
+    """Array of ``num_hashes`` minhash values from pre-hashed grams:
+    affine permutations (a_i * h + b_i) mod p via ``transform`` +
+    ``array_min``."""
     return F.array(*[
         F.array_min(F.transform(
-            base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P)))
-        for a, b in coeffs
+            base_hashes, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P)))
+        for a, b in _minhash_coeffs(num_hashes, seed)
     ])
+
+
+def base_gram_hashes(text: Column, ngram: int = 5) -> Column:
+    """One xxhash64 (mod p) per char n-gram.  Materialize this ONCE as
+    its own projection before fanning out into the permutations —
+    Catalyst does not CSE the shared subexpression across the
+    ``num_hashes`` array transforms, so inlining it re-hashes every
+    gram num_hashes times (measured ~10x slowdown at H=16)."""
+    grams = char_ngrams(text, ngram)
+    return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(_P)))
+
+
+def minhash_signature(text: Column, num_hashes: int = 16,
+                      ngram: int = 5, seed: int = 42) -> Column:
+    """Single-expression signature (prefer the two-step
+    base_gram_hashes -> minhash_from_base in pipelines; see note)."""
+    return minhash_from_base(base_gram_hashes(text, ngram), num_hashes,
+                             seed)
 
 
 def minhash_blocks(canon: DataFrame, num_hashes: int = 16, bands: int = 4,
@@ -79,8 +95,12 @@ def minhash_blocks(canon: DataFrame, num_hashes: int = 16, bands: int = 4,
     """(conv_id, block_key) rows: one LSH bucket key per band."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signature(F.col("full_text"), num_hashes, ngram, seed)
-    with_sig = canon.select("conv_id", sig.alias("sig"))
+    # two projections: gram hashes computed once, then permutations
+    with_base = canon.select(
+        "conv_id", base_gram_hashes(F.col("full_text"), ngram).alias("bh"))
+    with_sig = with_base.select(
+        "conv_id",
+        minhash_from_base(F.col("bh"), num_hashes, seed).alias("sig"))
     keys = F.array(*[
         F.concat(F.lit(f"mh{i}:"),
                  F.xxhash64(F.slice(F.col("sig"), i * rows + 1, rows),

@@ -71,8 +71,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 25)\
     current = edges.select("id_a", "id_b").localCheckpoint(eager=True)
     prev_fp = None
     for _ in range(max_iterations):
-        current = _large_star(current).localCheckpoint(eager=True)
-        current = _small_star(current).localCheckpoint(eager=True)
+        # one materialization per (large-star . small-star) pass: the
+        # two star ops compose lazily, halving per-iteration job count
+        current = _small_star(_large_star(current)) \
+            .localCheckpoint(eager=True)
         fp = _edge_fingerprint(current)
         if fp == prev_fp:
             break

@@ -45,6 +45,11 @@ def minhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     Integer inter/union counts (not a float Jaccard) keep the result
     exactly comparable across engines."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # a small input may arrive as one parquet split; the per-doc gram
+    # hashing is the expensive part, so spread it before computing
+    docs = docs.repartition(par, id_col)
     canon = docs.select(F.col(id_col).cast("string").alias("conv_id"),
                         F.col(text_col).alias("full_text"))
     blocks = minhash_blocks(canon, num_hashes=num_hashes, bands=bands,

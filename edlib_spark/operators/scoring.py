@@ -48,6 +48,19 @@ def score_pairs(pairs: DataFrame, canon: DataFrame, tau: float = 0.2,
                      "norm_distance")
 
 
+def pending_pairs(pairs: DataFrame, done: DataFrame) -> DataFrame:
+    """Pair-level resume delta: candidate pairs not yet scored.
+
+    ``done``: any DataFrame carrying (id_a, id_b) of already-scored
+    pairs (e.g. the scored_pairs checkpoint of an interrupted run).
+    A left-anti join — the shuffle hashes only the id columns, so the
+    delta costs nothing text-wise; downstream scoring then runs on the
+    remainder and the union of old + new scored pairs is complete.
+    """
+    return pairs.join(done.select("id_a", "id_b"), ["id_a", "id_b"],
+                      "left_anti")
+
+
 def match_edges(scored: DataFrame, tau: float = 0.2) -> DataFrame:
     """(id_a, id_b) edges whose normalized distance is within threshold.
 

@@ -46,6 +46,33 @@ def score_pair_stream(pairs: DataFrame, tau: float = 0.2,
         "id_a", "id_b", "len_a", "len_b", "edit_distance", "norm_distance")
 
 
+def dedup_pair_stream(pairs: DataFrame, ts_col: str = "ts",
+                      delay: str = "10 minutes") -> DataFrame:
+    """Late/duplicate handling: watermark on the event-time column +
+    stateful dropDuplicates on the pair key.  Re-delivered candidate
+    pairs (at-least-once upstream) are scored once; state for a pair is
+    discarded once the watermark passes ``delay`` behind the max seen
+    event time, which bounds the dedup state size."""
+    return (pairs.withWatermark(ts_col, delay)
+            .dropDuplicates(["id_a", "id_b"]))
+
+
+def windowed_match_counts(matches: DataFrame, ts_col: str = "ts",
+                          window: str = "1 hour",
+                          delay: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregation over the match stream:
+    matches/sec style monitoring (count + mean normalized distance per
+    window).  Late rows beyond ``delay`` are dropped; windows finalize
+    (and emit, in append mode) when the watermark passes their end."""
+    return (matches.withWatermark(ts_col, delay)
+            .groupBy(F.window(F.col(ts_col), window).alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.avg("norm_distance").alias("mean_norm_distance"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "n_matches", "mean_norm_distance"))
+
+
 def run_stream_scoring(spark: SparkSession, input_path: str,
                        output_path: str, checkpoint_path: str,
                        schema, tau: float = 0.2, mode: str = "NW",

@@ -73,3 +73,53 @@ def test_stream_resume_processes_new_files_only(spark, tmp_path):
                        available_now=True)
     n2 = spark.read.parquet(out).count()
     assert n2 == n1 + 1
+
+
+def test_stream_dedup_and_windowed_counts(spark, tmp_path):
+    """Watermarked dedup drops re-delivered pairs; tumbling-window agg
+    finalizes counts per window."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from edlib_spark.streaming.scorer import (dedup_pair_stream,
+                                              score_pair_stream,
+                                              windowed_match_counts)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", "b", "hello world", "hello w0rld", t0),
+        ("a", "b", "hello world", "hello w0rld", t0),  # duplicate
+        ("c", "d", "spark spark", "spark spark", t0 + dt.timedelta(hours=1)),
+    ]
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        rows, "id_a string, id_b string, text_a string, text_b string, "
+              "ts timestamp").coalesce(1).write.parquet(str(src))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    deduped = dedup_pair_stream(stream, "ts", "5 minutes")
+    q = (deduped.writeStream.format("memory").queryName("dedup_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("select * from dedup_t").collect()
+    assert len(got) == 2  # duplicate dropped
+    assert {(r.id_a, r.id_b) for r in got} == {("a", "b"), ("c", "d")}
+
+    # windowed counts over a match-shaped stream with event time
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    matches = stream2.select(
+        "id_a", "id_b", "ts",
+        F.lit(0.1).alias("norm_distance"))
+    win = windowed_match_counts(matches, "ts", "1 hour", "1 minute")
+    # complete mode: a single availableNow batch never advances the
+    # watermark past a window end, so append would emit nothing here;
+    # the per-window assignment is what this asserts
+    q2 = (win.writeStream.format("memory").queryName("win_t")
+          .outputMode("complete").trigger(availableNow=True).start())
+    q2.awaitTermination()
+    wrows = spark.sql(
+        "select * from win_t order by window_start").collect()
+    assert [r.n_matches for r in wrows] == [2, 1]  # no dedup this branch
+    assert all(abs(r.mean_norm_distance - 0.1) < 1e-9 for r in wrows)
