@@ -92,14 +92,17 @@ _SQL_CANONICAL = f"""
 """
 
 
-def length_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    canon = canonical_conversations(spark, sf_dir)
+def _length_blocks_of(canon: DataFrame) -> DataFrame:
     band = F.floor(F.col("text_len") / F.lit(BAND_W))
     return (canon.select(
         "conv_id", F.explode(F.array(band, band + 1)).alias("band"))
         .select("conv_id",
                 F.concat(F.lit("len:"), F.col("band").cast("string"))
                  .alias("block_key")))
+
+
+def length_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _length_blocks_of(canonical_conversations(spark, sf_dir))
 
 
 _SQL_LENGTH_BLOCKS = f"""
@@ -127,10 +130,12 @@ _SQL_PAIRS = f"""
 """
 
 
-def scored_pairs_events(spark: SparkSession, sf_dir: str,
-                        tau: float = TAU) -> DataFrame:
-    pairs = candidate_pairs_events(spark, sf_dir)
-    canon = canonical_conversations(spark, sf_dir)
+def _scored_of(canon: DataFrame, tau: float) -> DataFrame:
+    """Scored pairs from an already-built (ideally pinned) canon —
+    lets composite queries share one canonicalization instead of
+    re-deriving it per branch (the sf0.01 driver gate tolerates the
+    recompute; the bench-visible composites should not)."""
+    pairs = candidate_pairs(_length_blocks_of(canon))
     a = canon.select(F.col("conv_id").alias("id_a"),
                      F.col("full_text").alias("text_a"),
                      F.col("text_len").alias("len_a"))
@@ -147,6 +152,11 @@ def scored_pairs_events(spark: SparkSession, sf_dir: str,
         F.col("len_b").cast("bigint").alias("len_b"),
         edit_distance(F.col("text_a"), F.col("text_b"), "NW", k)
         .cast("bigint").alias("edit_distance"))
+
+
+def scored_pairs_events(spark: SparkSession, sf_dir: str,
+                        tau: float = TAU) -> DataFrame:
+    return _scored_of(canonical_conversations(spark, sf_dir), tau)
 
 
 def _sql_scored(tau: float) -> str:
@@ -170,13 +180,17 @@ def _sql_scored(tau: float) -> str:
 _SQL_SCORED = _sql_scored(TAU)
 
 
-def match_edges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = scored_pairs_events(spark, sf_dir, tau=TAU_EDGE)
+def _edges_of(scored: DataFrame, tau: float) -> DataFrame:
     max_len = F.greatest("len_a", "len_b")
     return (scored
             .where((F.col("edit_distance") >= 0)
-                   & (F.col("edit_distance") <= F.lit(TAU_EDGE) * max_len))
+                   & (F.col("edit_distance") <= F.lit(tau) * max_len))
             .select("id_a", "id_b"))
+
+
+def match_edges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _edges_of(scored_pairs_events(spark, sf_dir, tau=TAU_EDGE),
+                     TAU_EDGE)
 
 
 _SQL_EDGES = f"""
@@ -188,8 +202,12 @@ _SQL_EDGES = f"""
 
 
 def clusters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    canon = canonical_conversations(spark, sf_dir)
-    edges = match_edges_events(spark, sf_dir)
+    # pin canon once: the naive composition re-derives the window +
+    # groupBy canonicalization in every branch (blocks, both join
+    # sides, the final assignment join) — 6 scans of events
+    canon = canonical_conversations(spark, sf_dir) \
+        .localCheckpoint(eager=False)
+    edges = _edges_of(_scored_of(canon, TAU_EDGE), TAU_EDGE)
     return cluster_assignments(canon, edges)
 
 
