@@ -94,17 +94,43 @@ def batch_edit_distance(queries, targets, mode: str = "NW", k=-1,
     if n == 0:
         return out
 
+    k_arr = np.broadcast_to(np.asarray(k, dtype=np.int64), (n,)).copy()
+
+    # ---- dynamic-k doubling for unbounded pairs (edlib.cpp:196-217):
+    # banded scans at k = 64, 128, ... are far cheaper than one
+    # full-band scan when the true distance is small relative to the
+    # sequence length (the common case for near-duplicates)
+    unb_mask = k_arr < 0
+    if unb_mask.any():
+        uidx = np.nonzero(unb_mask)[0]
+        bidx = np.nonzero(~unb_mask)[0]
+        if len(bidx):
+            out[bidx] = batch_edit_distance(
+                [queries[i] for i in bidx], [targets[i] for i in bidx],
+                mode, k_arr[bidx], use_native)
+        uq = [queries[i] or "" for i in uidx]
+        ut = [targets[i] or "" for i in uidx]
+        qlens = np.array([len(s) for s in uq], dtype=np.int64)
+        tlens = np.array([len(s) for s in ut], dtype=np.int64)
+        cap = np.maximum(qlens, tlens) if mode == "NW" else qlens
+        res = np.full(len(uidx), -1, dtype=np.int32)
+        active = np.arange(len(uidx))
+        ktry = 64  # WORD_SIZE (edlib.cpp:199)
+        while len(active):
+            kk = np.minimum(ktry, cap[active])
+            got = batch_edit_distance(
+                [uq[i] for i in active], [ut[i] for i in active],
+                mode, kk, use_native)
+            final = (got >= 0) | (kk >= cap[active])
+            res[active[final]] = got[final]
+            active = active[~final]
+            ktry *= 2
+        out[uidx] = res
+        return out
+
     q_buf, q_start, q_lens = encode_flat(queries)
     t_buf, t_start, t_lens = encode_flat(targets)
     q_codes = t_codes = None  # built lazily for the numpy path
-    k_arr = np.broadcast_to(np.asarray(k, dtype=np.int64), (n,)).copy()
-
-    # unbounded => cap at the largest possible distance for the mode
-    unb = k_arr < 0
-    if mode == "NW":
-        k_arr[unb] = np.maximum(q_lens, t_lens)[unb]
-    else:
-        k_arr[unb] = q_lens[unb]
     if mode == "HW":  # solution never exceeds qlen (edlib.cpp:566-568)
         k_arr = np.minimum(k_arr, q_lens)
 

@@ -634,7 +634,12 @@ _SQL_MINHASH_NEARDUP = """
            CAST(len(list_distinct(list_concat(a.g, b.g))) AS BIGINT)
                AS union_count
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.g, b.g)) * 100
+    -- result-preserving prune: J >= 0.8 forces |A|/|B| ratio >= 0.8
+    -- (inter <= min size, union >= max size), so unmatched-size pairs
+    -- can skip the expensive intersect entirely
+    WHERE len(a.g) * 100 >= 80 * len(b.g)
+      AND len(b.g) * 100 >= 80 * len(a.g)
+      AND len(list_intersect(a.g, b.g)) * 100
           >= 80 * len(list_distinct(list_concat(a.g, b.g)))
 """
 
