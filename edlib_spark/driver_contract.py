@@ -340,32 +340,48 @@ _SQL_DOC_TOKENS = """
 
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simple quality signals: char count, token count, short-doc flag,
-    mean token length scaled x100 (integer arithmetic keeps the oracle
-    hash exact)."""
+    """Quality signals: char count, token count, short-doc flag, mean
+    token length x100, stopword count (English stopword-list hits) —
+    all integer arithmetic so the oracle hash is exact."""
+    from .operators.textops import tokens
     docs = _read(spark, sf_dir, "documents")
     n_chars = F.length("text")
     n_tokens = (n_chars - F.length(F.regexp_replace("text", " ", "")) + 1)
     mean_tok_x100 = F.floor((n_chars - (n_tokens - 1)) * 100 / n_tokens)
+    stopwords = F.size(F.filter(
+        tokens(F.col("text")),
+        lambda t: t.isin(*_EN_STOPWORDS)))
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         n_chars.cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
         (n_chars < 100).cast("boolean").alias("is_short"),
-        mean_tok_x100.cast("bigint").alias("mean_token_len_x100"))
+        mean_tok_x100.cast("bigint").alias("mean_token_len_x100"),
+        stopwords.cast("bigint").alias("stopword_count"))
 
 
-_SQL_DOC_QUALITY = """
+# mirrors edlib_spark.operators.textops._STOPWORDS["en"]
+_EN_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "that",
+                 "for", "it"]
+
+_SQL_DOC_QUALITY = f"""
     WITH s AS (
         SELECT doc_id, length(text) AS n_chars,
-               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+               length(text) - length(replace(text, ' ', '')) + 1
+                   AS n_tokens,
+               len(list_filter(
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t != ''),
+                   t -> list_contains(
+                       {_EN_STOPWORDS!r}, t))) AS stopword_count
         FROM documents)
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(n_chars AS BIGINT) AS n_chars,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            n_chars < 100 AS is_short,
            CAST(floor((n_chars - (n_tokens - 1)) * 100 / n_tokens)
-                AS BIGINT) AS mean_token_len_x100
+                AS BIGINT) AS mean_token_len_x100,
+           CAST(stopword_count AS BIGINT) AS stopword_count
     FROM s
 """
 
@@ -677,6 +693,83 @@ _SQL_COSINE_NEARDUP = """
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (seed centroids =
+    vec_id < 8) partitions the corpus into cells; each query searches
+    only its own cell (nprobe=1) — the inverted-file pruning pattern at
+    the heart of IVF indexes, fully SQL-expressible so it gets an exact
+    oracle (unlike random-hyperplane LSH whose hashes differ across
+    engines)."""
+    from .operators.dedup import cosine as cosine_expr
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.transform("embedding",
+                                  lambda x: x.cast("double")).alias("v"))
+    cents = base.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("c"))
+
+    def assign(df, id_out):
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            F.col("vec_id").alias(id_out), "v", "cent_id",
+            cosine_expr(F.col("v"), F.col("c")).alias("ccos"))
+        w = Window.partitionBy(id_out).orderBy(F.desc("ccos"), "cent_id")
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1).select(id_out, "v", "cent_id"))
+
+    queries = assign(base.where(F.col("vec_id") < 10), "query_id") \
+        .select("query_id", F.col("v").alias("q"), "cent_id")
+    neighbors = assign(base.where(F.col("vec_id") >= 10), "neighbor_id") \
+        .select("neighbor_id", F.col("v").alias("n"), "cent_id")
+    scored = (queries.join(neighbors, "cent_id")
+              .select("query_id", "neighbor_id",
+                      cosine_expr(F.col("q"), F.col("n")).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.round("cos", 4).alias("cos_r")))
+
+
+_SQL_ANN_IVF = """
+    WITH base AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS c FROM base
+              WHERE vec_id < 8),
+    assign AS (
+        SELECT b.vec_id, b.v, t.cent_id,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_sum(list_transform(list_zip(b.v, t.c),
+                                                    x -> x[1] * x[2]))
+                         / (sqrt(list_sum(list_transform(b.v,
+                                                         x -> x * x)))
+                            * sqrt(list_sum(list_transform(t.c,
+                                                           x -> x * x))))
+                         DESC, t.cent_id) AS rn
+        FROM base b, cents t),
+    cells AS (SELECT vec_id, v, cent_id FROM assign WHERE rn = 1),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(q.v, n.v),
+                                       x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(n.v, x -> x * x)))) AS cos
+        FROM cells q JOIN cells n ON q.cent_id = n.cent_id
+        WHERE q.vec_id < 10 AND n.vec_id >= 10),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(cos, 4) AS cos_r
+    FROM ranked WHERE rank <= 5
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the 100 TB scale path for ann_cosine_topk):
     neighbors are ranked only within the query's random-hyperplane
@@ -856,6 +949,7 @@ def build_queries():
         "doc_minhash_neardup": doc_minhash_neardup,
         "doc_simhash_neardup": doc_simhash_neardup,
         "embedding_cosine_neardup": embedding_cosine_neardup,
+        "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "media_decode_meta": media_decode_meta,
         "media_frame_sample": media_frame_sample,
@@ -886,6 +980,7 @@ def build_oracle_sql():
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "doc_minhash_neardup": _SQL_MINHASH_NEARDUP,
         "embedding_cosine_neardup": _SQL_COSINE_NEARDUP,
+        "ann_ivf_topk": _SQL_ANN_IVF,
         "media_decode_meta": _SQL_MEDIA_META,
         "media_frame_sample": _SQL_FRAME_SAMPLE,
         "media_resize_plan": _SQL_RESIZE_PLAN,

@@ -1,0 +1,93 @@
+"""Physical-plan shape regressions: the plans we tuned for must stay
+tuned (broadcasts where intended, single Arrow boundary in the scorer,
+column pruning reaching the parquet scan, no cartesian products)."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def transcripts_parquet(spark, tmp_path_factory):
+    from edlib_spark.sources.transcripts import synth_transcripts
+    path = str(tmp_path_factory.mktemp("plans") / "t.parquet")
+    synth_transcripts(spark, n_clusters=30, seed=42).write.parquet(path)
+    return path
+
+
+def test_scorer_plan_single_arrow_boundary_no_cartesian(
+        spark, transcripts_parquet):
+    from edlib_spark.operators.canonicalize import canonicalize
+    from edlib_spark.operators.pairs import candidate_pairs
+    from edlib_spark.operators.scoring import score_pairs
+    from edlib_spark.plans.linkage import LinkageConfig, build_blocks
+
+    t = spark.read.parquet(transcripts_parquet)
+    canon = canonicalize(t)
+    pairs = candidate_pairs(build_blocks(canon, LinkageConfig()))
+    scored = score_pairs(pairs, canon)
+    p = plan_of(scored, "simple")
+    assert p.count("ArrowEvalPython") == 1, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_block_size_stats_are_broadcast(spark, transcripts_parquet):
+    from edlib_spark.operators.canonicalize import canonicalize
+    from edlib_spark.operators.pairs import candidate_pairs
+    from edlib_spark.plans.linkage import LinkageConfig, build_blocks
+
+    t = spark.read.parquet(transcripts_parquet)
+    pairs = candidate_pairs(
+        build_blocks(canonicalize(t), LinkageConfig()))
+    p = plan_of(pairs)
+    # the per-block size annotation join must not shuffle the members
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_canonicalize_prunes_unused_columns(spark, transcripts_parquet):
+    from edlib_spark.operators.canonicalize import canonicalize
+    t = spark.read.parquet(transcripts_parquet)
+    p = plan_of(canonicalize(t))
+    scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scan, p
+    # only conv_id, turn_idx, text should reach the scan
+    assert "tool" not in scan[0] and "role" not in scan[0], scan[0]
+
+
+def test_query_vs_corpus_uses_broadcast(spark):
+    from edlib_spark import driver_contract as dc
+    df = dc.query_vs_corpus(spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    assert "Broadcast" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_length_prefilter_precedes_kernel(spark, transcripts_parquet):
+    """The k < |len diff| shortcut must run JVM-side BEFORE the Arrow
+    boundary (pairs pruned without invoking Python)."""
+    from edlib_spark.operators.canonicalize import canonicalize
+    from edlib_spark.operators.pairs import candidate_pairs
+    from edlib_spark.operators.scoring import score_pairs
+    from edlib_spark.plans.linkage import LinkageConfig, build_blocks
+
+    t = spark.read.parquet(transcripts_parquet)
+    canon = canonicalize(t)
+    scored = score_pairs(
+        candidate_pairs(build_blocks(canon, LinkageConfig())), canon)
+    p = plan_of(scored, "simple")
+    arrow_pos = p.find("ArrowEvalPython")
+    # the abs(len diff) filter must appear BELOW (later in the printed
+    # tree = earlier in execution than) the Arrow node
+    filter_pos = p.find("abs(")
+    assert arrow_pos != -1 and filter_pos != -1, p
+    assert filter_pos > arrow_pos, (
+        "length prefilter should execute before the Arrow boundary", p)
