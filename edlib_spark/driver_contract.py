@@ -592,6 +592,111 @@ def shw_distance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("bigint").alias("edit_distance")))
 
 
+def shw_distance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHW (prefix) mode WITH an exact oracle: SHW distance is
+    min over j of levenshtein(query, target[:j]), which DuckDB can
+    evaluate directly on truncated targets — exact cross-engine check
+    of the semi-global kernel (edlib.cpp:532-704, mode SHW)."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.substring("text", 1, 30).alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"),
+                    F.substring("text", 1, 120).alias("text_b"))
+    return (a.join(b, "id_a")
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    edit_distance(F.col("text_a"), F.col("text_b"),
+                                  "SHW", -1)
+                    .cast("bigint").alias("edit_distance")))
+
+
+_SQL_SHW_EXACT = """
+    WITH p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.text[1:30] AS ta, b.text[1:120] AS tb
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CAST(list_min(list_transform(
+                    range(0, length(tb) + 1),
+                    j -> levenshtein(ta, tb[1:j]))) AS BIGINT)
+               AS edit_distance
+    FROM p
+"""
+
+
+def equality_align_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom equality pairs (the reference's EdlibEqualityPair,
+    edlib.h:92-95): case-folding equivalences supplied to the aligner
+    instead of preprocessing the text.  Rows-only (no SQL analogue)."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.upper(F.substring("text", 1, 60)).alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"),
+                    F.substring("text", 1, 60).alias("text_b"))
+    eqs = [(chr(c), chr(c).upper()) for c in range(ord("a"), ord("z") + 1)]
+    res = align_expr(F.col("text_a"), F.col("text_b"), mode="NW",
+                     task="distance", additional_equalities=eqs)
+    return (a.join(b, "id_a")
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    F.col("text_a"),
+                    res.getField("editDistance").cast("bigint")
+                    .alias("edit_distance")))
+
+
+def hw_locations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HW infix search exposing the full end-location SET (the
+    reference returns ALL best end positions, edlib.cpp:657-674) and
+    the reversed-SHW start locations.  Rows-only."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.substring("text", 20, 25).alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"),
+                    F.substring("text", 1, 300).alias("text_b"))
+    res = align_expr(F.col("text_a"), F.col("text_b"), mode="HW",
+                     task="locations")
+    joined = (a.join(b, "id_a").where(F.col("id_b") < 100)
+              .select("id_a", "id_b", res.alias("r")))
+    return joined.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("r.editDistance").cast("bigint").alias("edit_distance"),
+        F.size("r.locations").cast("bigint").alias("n_locations"),
+        F.col("r.locations").getItem(0).getField("start")
+        .cast("bigint").alias("first_start"),
+        F.col("r.locations").getItem(0).getField("end")
+        .cast("bigint").alias("first_end"))
+
+
+def nice_alignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getNiceAlignment rendering (edlib.pyx:158-238) over a few
+    adjacent doc pairs.  Rows-only."""
+    from .functions.alignment import nice_alignment
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.substring("text", 1, 80).alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"),
+                    F.substring("text", 1, 80).alias("text_b"))
+    joined = a.join(b, "id_a").where(F.col("id_b") < 30)
+    res = align_expr(F.col("text_a"), F.col("text_b"), mode="NW",
+                     task="path")
+    joined = joined.select("id_a", "id_b", "text_a", "text_b",
+                           res.alias("r"))
+    nice = nice_alignment(F.col("r"), F.col("text_a"), F.col("text_b"))
+    return (joined.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("r.cigar").alias("cigar"),
+        nice.getField("query_aligned").alias("query_aligned"),
+        nice.getField("matched_aligned").alias("matched_aligned"),
+        nice.getField("target_aligned").alias("target_aligned")))
+
+
 def align_path_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full alignment results (locations + CIGAR) for adjacent doc pairs
     (task='path'; no SQL equivalent)."""
@@ -944,6 +1049,10 @@ def build_queries():
         "embedding_lsh_buckets": embedding_lsh_buckets,
         "hw_distance_documents": hw_distance_documents,
         "shw_distance_documents": shw_distance_documents,
+        "shw_distance_exact": shw_distance_exact,
+        "equality_align_documents": equality_align_documents,
+        "hw_locations_documents": hw_locations_documents,
+        "nice_alignment_documents": nice_alignment_documents,
         "align_path_documents": align_path_documents,
         "minhash_blocks_documents": minhash_blocks_documents,
         "doc_minhash_neardup": doc_minhash_neardup,
@@ -981,6 +1090,7 @@ def build_oracle_sql():
         "doc_minhash_neardup": _SQL_MINHASH_NEARDUP,
         "embedding_cosine_neardup": _SQL_COSINE_NEARDUP,
         "ann_ivf_topk": _SQL_ANN_IVF,
+        "shw_distance_exact": _SQL_SHW_EXACT,
         "media_decode_meta": _SQL_MEDIA_META,
         "media_frame_sample": _SQL_FRAME_SAMPLE,
         "media_resize_plan": _SQL_RESIZE_PLAN,

@@ -1,0 +1,97 @@
+"""Custom stateful streaming operator: incremental conversation
+canonicalization with ``applyInPandasWithState``.
+
+Turns for one conv_id may be spread across micro-batches (and arrive
+out of order).  State per conv_id accumulates (turn_idx, text) pairs;
+the canonical row — turns sorted by turn_idx, joined with the engine's
+separator — is emitted when the conversation's end marker arrives
+(``role == end_role``), with a processing-time timeout as the fallback
+for conversations whose marker never shows (late/lost data).
+
+This is the streaming twin of operators.canonicalize: same separator,
+same ordering invariant (per-turn text equality under stable
+(conv_id, turn_idx) ordering), state bounded per conversation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from ..operators.canonicalize import TURN_SEP
+
+CANONICAL_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("full_text", StringType()),
+    StructField("n_turns", LongType()),
+    StructField("complete", StringType()),  # 'end' | 'timeout'
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("idxs", ArrayType(IntegerType())),
+    StructField("texts", ArrayType(StringType())),
+])
+
+
+def stream_canonicalize(turns: DataFrame, end_role: str = "end",
+                        timeout_ms: int | None = None,
+                        sep: str = TURN_SEP) -> DataFrame:
+    """(conv_id, turn_idx, role, text) stream -> canonical conversation
+    stream.  Marker turns (role == end_role) trigger emission and are
+    excluded from the canonical text.
+
+    ``timeout_ms``: optional processing-time timeout that flushes
+    conversations whose end marker never arrives.  Leave None (default)
+    for availableNow/backfill runs: with ProcessingTimeTimeout set,
+    Spark's availableNow trigger keeps scheduling no-data batches and
+    the query never self-terminates (observed on Spark 4.1); enable it
+    only for continuously-running deployments."""
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        if state.hasTimedOut:
+            idxs, texts = state.get
+            state.remove()
+            yield _emit(conv_id, idxs, texts, sep, "timeout")
+            return
+        idxs, texts = state.get if state.exists else ([], [])
+        idxs, texts = list(idxs), list(texts)
+        done = False
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                if row["role"] == end_role:
+                    done = True
+                else:
+                    idxs.append(int(row["turn_idx"]))
+                    texts.append(row["text"] if row["text"] is not None
+                                 else "")
+        if done:
+            if state.exists:
+                state.remove()
+            yield _emit(conv_id, idxs, texts, sep, "end")
+        else:
+            state.update((idxs, texts))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if timeout_ms is not None
+                    else GroupStateTimeout.NoTimeout)
+    return (turns.groupBy("conv_id")
+            .applyInPandasWithState(fn, CANONICAL_SCHEMA, _STATE_SCHEMA,
+                                    "append", timeout_conf))
+
+
+def _emit(conv_id: str, idxs: list, texts: list, sep: str,
+          how: str) -> pd.DataFrame:
+    order = sorted(range(len(idxs)), key=lambda i: (idxs[i], texts[i]))
+    full = sep.join(texts[i] for i in order)
+    return pd.DataFrame({"conv_id": [conv_id], "full_text": [full],
+                         "n_turns": [len(idxs)], "complete": [how]})

@@ -123,3 +123,70 @@ def test_stream_dedup_and_windowed_counts(spark, tmp_path):
         "select * from win_t order by window_start").collect()
     assert [r.n_matches for r in wrows] == [2, 1]  # no dedup this branch
     assert all(abs(r.mean_norm_distance - 0.1) < 1e-9 for r in wrows)
+
+
+def test_stream_canonicalize_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState: turns of one conversation split across
+    TWO micro-batches; state carries the first batch's turns and the
+    end marker in batch 2 triggers emission of the full canonical row."""
+    from edlib_spark.operators.canonicalize import TURN_SEP, canonicalize
+    from edlib_spark.streaming.canonicalize import stream_canonicalize
+
+    src = tmp_path / "turns"
+    src.mkdir()
+    schema_str = "conv_id string, turn_idx int, role string, text string"
+    # batch 1: first half of conv A, all of conv B (no markers yet)
+    spark.createDataFrame(
+        [("A", 1, "user", "a-turn-one"), ("A", 0, "assistant", "a-turn-zero"),
+         ("B", 0, "user", "b-only-turn")],
+        schema_str).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    # batch 2: rest of conv A + both end markers
+    spark.createDataFrame(
+        [("A", 2, "user", "a-turn-two"), ("A", -1, "end", None),
+         ("B", -1, "end", None)],
+        schema_str).coalesce(1).write.parquet(str(src / "f2.parquet"))
+
+    schema = spark.read.parquet(str(src / "f1.parquet")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    out = stream_canonicalize(stream, end_role="end")
+    q = (out.writeStream.format("memory").queryName("canon_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.conv_id: r for r in
+           spark.sql("select * from canon_stream").collect()}
+    assert set(got) == {"A", "B"}
+    assert got["A"].full_text == TURN_SEP.join(
+        ["a-turn-zero", "a-turn-one", "a-turn-two"])
+    assert got["A"].n_turns == 3 and got["A"].complete == "end"
+    assert got["B"].full_text == "b-only-turn"
+
+    # invariant: same canonical text as the batch operator
+    batch = spark.read.parquet(str(src) + "/*").where("role != 'end'")
+    batch_canon = {r.conv_id: r.full_text
+                   for r in canonicalize(batch).collect()}
+    assert batch_canon == {c: r.full_text for c, r in got.items()}
+
+
+def test_stream_canonicalize_timeout_flush(spark, tmp_path):
+    """Processing-time timeout flushes a conversation whose end marker
+    never arrives (continuous-mode fallback path)."""
+    from edlib_spark.streaming.canonicalize import stream_canonicalize
+
+    src = tmp_path / "turns"
+    src.mkdir()
+    schema_str = "conv_id string, turn_idx int, role string, text string"
+    spark.createDataFrame(
+        [("C", 0, "user", "orphan-turn")],
+        schema_str).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    schema = spark.read.parquet(str(src / "f1.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    out = stream_canonicalize(stream, end_role="end", timeout_ms=5000)
+    q = (out.writeStream.format("memory").queryName("canon_to")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from canon_to").collect()
+    assert len(rows) == 1
+    assert rows[0].conv_id == "C" and rows[0].complete == "timeout"
+    assert rows[0].full_text == "orphan-turn"
