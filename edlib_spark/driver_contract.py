@@ -765,6 +765,49 @@ _SQL_MINHASH_NEARDUP = """
 """
 
 
+def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: MinHash+LSH candidates -> exact-Jaccard verify
+    -> large-star/small-star connected components -> one cluster id per
+    document (min doc_id of its near-dup group).  The ENTIRE pipeline
+    is SQL-checked: the oracle recomputes exact all-pairs Jaccard edges
+    and closes them with a recursive CTE."""
+    from .operators.clustering import cluster_assignments
+    docs = _read(spark, sf_dir, "documents")
+    edges = (doc_minhash_neardup(spark, sf_dir)
+             .select(F.col("id_a").cast("string").alias("id_a"),
+                     F.col("id_b").cast("string").alias("id_b")))
+    nodes = docs.select(F.col("doc_id").cast("string").alias("conv_id"))
+    assigned = cluster_assignments(nodes, edges)
+    # cluster ids were min'ed as STRINGS; renormalize numerically
+    return (assigned
+            .groupBy(F.col("cluster_id"))
+            .agg(F.collect_list("conv_id").alias("members"))
+            .select(F.explode("members").alias("member"),
+                    F.array_min(F.transform(
+                        "members", lambda m: m.cast("bigint")))
+                    .cast("bigint").alias("cluster_id"))
+            .select(F.col("member").cast("bigint").alias("doc_id"),
+                    "cluster_id"))
+
+
+_SQL_NEARDUP_CLUSTERS = f"""
+    WITH RECURSIVE e AS (
+        SELECT id_a, id_b FROM ({_SQL_MINHASH_NEARDUP})),
+    sym AS (SELECT id_a AS u, id_b AS v FROM e
+            UNION SELECT id_b, id_a FROM e),
+    reach AS (
+        SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.u AS node, r.lab AS lab
+        FROM sym s JOIN reach r ON s.v = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS root FROM reach GROUP BY node)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(comp.root, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+"""
+
+
 def doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3 via band-key join; complete
     for hamming <= bands-1).  Rows-only: Spark xxhash64 has no DuckDB
@@ -1056,6 +1099,7 @@ def build_queries():
         "align_path_documents": align_path_documents,
         "minhash_blocks_documents": minhash_blocks_documents,
         "doc_minhash_neardup": doc_minhash_neardup,
+        "doc_neardup_clusters": doc_neardup_clusters,
         "doc_simhash_neardup": doc_simhash_neardup,
         "embedding_cosine_neardup": embedding_cosine_neardup,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1088,6 +1132,7 @@ def build_oracle_sql():
         "query_vs_corpus": _SQL_QUERY_VS_CORPUS,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "doc_minhash_neardup": _SQL_MINHASH_NEARDUP,
+        "doc_neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "embedding_cosine_neardup": _SQL_COSINE_NEARDUP,
         "ann_ivf_topk": _SQL_ANN_IVF,
         "shw_distance_exact": _SQL_SHW_EXACT,

@@ -55,6 +55,13 @@ def simple_edit_distance(query, target, mode="NW"):
                     positions = []
                 best = score
                 positions.append(c)
+    if mode in ("SHW", "HW") and qlen == best:
+        # the empty-prefix/-window solution (cost qlen, end -1): the
+        # reference reports it when it ties the best column score, with
+        # -1 ordered first (empirically probed against the compiled
+        # reference: align('a','b',SHW) -> dist=1 ends=[-1,0]; it can
+        # tie but never strictly beat, since lev(q, t[:1]) <= qlen)
+        positions = [-1] + positions
     return best, positions
 
 

@@ -1,0 +1,76 @@
+"""Pipeline-scale benchmark: the full linkage dataflow (canonicalize ->
+block -> salted pairs -> batched Myers scoring -> threshold -> CC) on
+the medium synthetic corpus, reporting wall time per stage and pairwise
+F1 against the planted ground truth.  Writes BENCH/PIPELINE.md.
+
+Usage: python tools/pipeline_bench.py [scale]   (default: medium)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from edlib_spark.plans.linkage import (LinkageConfig, pairwise_f1,
+                                           run_linkage)
+    from edlib_spark.session import get_spark
+    from edlib_spark.sources.transcripts import (ensure_transcripts_parquet,
+                                                 ground_truth_cluster)
+
+    scale = sys.argv[1] if len(sys.argv) > 1 else "medium"
+    spark = get_spark("pipeline-bench", master="local[32]",
+                      shuffle_partitions=64)
+    tpath = ensure_transcripts_parquet(spark, scale)
+    transcripts = spark.read.parquet(tpath)
+    n_turns = transcripts.count()
+    n_convs = transcripts.select("conv_id").distinct().count()
+
+    t0 = time.perf_counter()
+    # run_linkage executes the chain during construction: the CC loop's
+    # fixpoint iterations force canonical -> ... -> edges eagerly
+    stages = run_linkage(transcripts, LinkageConfig())
+    clusters = stages["clusters"]
+    clusters.count()
+    total = time.perf_counter() - t0
+    counts = {name: stages[name].count()
+              for name in ("canonical", "blocks", "pairs", "scored",
+                           "edges", "clusters")}
+
+    truth = clusters.select(
+        "conv_id", ground_truth_cluster(F.col("conv_id")).alias("cluster_id"))
+    m = pairwise_f1(clusters, truth)
+    spark.stop()
+
+    rows = "\n".join(f"| {name} | {n:,} |" for name, n in counts.items())
+    md = f"""# BENCH — full linkage pipeline at '{scale}' scale
+
+{n_turns:,} transcript turns / {n_convs:,} conversations, local[32].
+End-to-end wall (canonicalize -> block -> salted pairs -> batched
+Myers scoring of every candidate pair -> threshold -> CC fixpoint):
+**{total:.1f} s**.
+
+| stage | rows |
+|---|---|
+{rows}
+
+**Pairwise quality vs planted ground truth** (clusters are mutated
+variants of base conversations, mutation rate 1-12% per char):
+precision {m['precision']:.4f}, recall {m['recall']:.4f},
+**F1 {m['f1']:.4f}** (target >= 0.99; {int(m['true_pairs']):,} true
+pairs, {int(m['common_pairs']):,} recovered).
+
+Reproduce: `python tools/pipeline_bench.py {scale}`
+"""
+    with open("/root/repo/BENCH/PIPELINE.md", "w") as fh:
+        fh.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
