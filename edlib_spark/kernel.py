@@ -753,12 +753,13 @@ def align(query, target, mode="NW", task="distance", k=-1,
             dist, ends = max(qlen, tlen), [tlen - 1]
         else:
             dist, ends = qlen, [-1]
-        starts = [0] * len(ends) if task in ("locations", "path") else None
-        cigar = None
-        if task == "path":
-            path = [OP_DELETE] * tlen if qlen == 0 else [OP_INSERT] * qlen
-            cigar = path_to_cigar(path) if path else ""
-        return _result(dist, sigma, starts, ends, cigar)
+        # reference short-circuit returns before allocating
+        # startLocations OR building any alignment (probed against the
+        # compiled reference: cigar is NULL for every empty-input case,
+        # even task='path'), so starts are None and cigar stays None
+        starts = ([None] * len(ends) if task in ("locations", "path")
+                  else None)
+        return _result(dist, sigma, starts, ends, None)
 
     nblocks = _ceil_div(qlen, WORD)
     w = nblocks * WORD - qlen
