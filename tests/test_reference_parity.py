@@ -37,23 +37,34 @@ using namespace std;
 int main() {
     string line;
     while (getline(cin, line)) {
-        // fields: mode \t task \t k \t query \t target
+        // fields: mode \t task \t k \t eqpairs \t query \t target
+        // eqpairs: concatenated 2-char equality pairs, '' for none
         size_t p1 = line.find('\t'), p2 = line.find('\t', p1 + 1),
-               p3 = line.find('\t', p2 + 1), p4 = line.find('\t', p3 + 1);
+               p3 = line.find('\t', p2 + 1), p4 = line.find('\t', p3 + 1),
+               p5 = line.find('\t', p4 + 1);
         string mode = line.substr(0, p1);
         string task = line.substr(p1 + 1, p2 - p1 - 1);
         int k = stoi(line.substr(p2 + 1, p3 - p2 - 1));
-        string q = line.substr(p3 + 1, p4 - p3 - 1);
-        string t = line.substr(p4 + 1);
+        string eqs = line.substr(p3 + 1, p4 - p3 - 1);
+        string q = line.substr(p4 + 1, p5 - p4 - 1);
+        string t = line.substr(p5 + 1);
         EdlibAlignMode m = mode == "HW" ? EDLIB_MODE_HW
                          : mode == "SHW" ? EDLIB_MODE_SHW : EDLIB_MODE_NW;
         EdlibAlignTask tk = task == "path" ? EDLIB_TASK_PATH
                           : task == "locations" ? EDLIB_TASK_LOC
                           : EDLIB_TASK_DISTANCE;
+        EdlibEqualityPair pairs[16];
+        int npairs = (int)eqs.size() / 2;
+        for (int i = 0; i < npairs; i++) {
+            pairs[i].first = eqs[2 * i];
+            pairs[i].second = eqs[2 * i + 1];
+        }
         EdlibAlignResult r = edlibAlign(q.c_str(), (int)q.size(),
                                         t.c_str(), (int)t.size(),
-                                        edlibNewAlignConfig(k, m, tk,
-                                                            NULL, 0));
+                                        edlibNewAlignConfig(
+                                            k, m, tk,
+                                            npairs ? pairs : NULL,
+                                            npairs));
         printf("%d|", r.editDistance);
         for (int i = 0; i < r.numLocations; i++)
             printf("%d%s", r.endLocations ? r.endLocations[i] : -2,
@@ -103,13 +114,14 @@ def _cases(n, seed, minq=0, maxq=120, mint=0, maxt=200):
         mode = ["NW", "SHW", "HW"][int(rng.integers(0, 3))]
         task = ["distance", "locations", "path"][int(rng.integers(0, 3))]
         k = int([-1, -1, rng.integers(0, 60)][int(rng.integers(0, 3))])
-        out.append((mode, task, k, q, t))
+        eqs = ["", "ac", "agct"][int(rng.integers(0, 3))]
+        out.append((mode, task, k, eqs, q, t))
     return out
 
 
 def _run_reference(probe_exe, cases):
-    payload = "".join(f"{m}\t{tk}\t{k}\t{q}\t{t}\n"
-                      for m, tk, k, q, t in cases)
+    payload = "".join(f"{m}\t{tk}\t{k}\t{eqs}\t{q}\t{t}\n"
+                      for m, tk, k, eqs, q, t in cases)
     res = subprocess.run([str(probe_exe)], input=payload,
                          capture_output=True, text=True, check=True)
     parsed = []
@@ -124,10 +136,12 @@ def _run_reference(probe_exe, cases):
 def test_random_parity_vs_reference_binary(probe):
     cases = _cases(400, seed=1234)
     want = _run_reference(probe, cases)
-    for (mode, task, k, q, t), (wd, wends, wstarts, wcig) in zip(
+    for (mode, task, k, eqs, q, t), (wd, wends, wstarts, wcig) in zip(
             cases, want):
-        got = kernel.align(q, t, mode=mode, task=task, k=k)
-        ctx = (mode, task, k, len(q), len(t))
+        pairs = [(eqs[i], eqs[i + 1]) for i in range(0, len(eqs), 2)]
+        got = kernel.align(q, t, mode=mode, task=task, k=k,
+                           additionalEqualities=pairs or None)
+        ctx = (mode, task, k, eqs, len(q), len(t))
         assert got["editDistance"] == wd, ctx
         if wd == -1:
             continue
@@ -148,11 +162,12 @@ def test_tiny_edge_parity_vs_reference_binary(probe):
     for ln in (1, 2, 3):
         strings += ["".join(c) for c in __import__("itertools").product(
             alpha, repeat=ln)]
-    cases = [(m, "locations", -1, q, t)
+    cases = [(m, "locations", -1, "", q, t)
              for m in ("NW", "SHW", "HW")
              for q in strings for t in strings]
     want = _run_reference(probe, cases)
-    for (mode, task, k, q, t), (wd, wends, wstarts, _) in zip(cases, want):
+    for (mode, task, k, _eqs, q, t), (wd, wends, wstarts, _) in zip(
+            cases, want):
         got = kernel.align(q, t, mode=mode, task=task, k=k)
         ctx = (mode, q, t)
         assert got["editDistance"] == wd, ctx
