@@ -156,3 +156,28 @@ def ensure_transcripts_parquet(spark: SparkSession, scale: str,
 def ground_truth_cluster(conv_id_col):
     """Ground-truth cluster label from the conv_id encoding."""
     return F.split(conv_id_col, "_").getItem(0)
+
+
+def read_transcripts_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines transcript source: one turn object per line with the
+    mandated fields; schema enforced up front (no inference pass over
+    100 TB), ts parsed from ISO-8601, rows with a null conv_id or
+    turn_idx dropped as malformed."""
+    raw_schema = StructType([
+        StructField("conv_id", StringType(), True),
+        StructField("turn_idx", IntegerType(), True),
+        StructField("role", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("tool", StringType(), True),
+        StructField("ts", StringType(), True),
+    ])
+    df = spark.read.schema(raw_schema).json(path)
+    return (df.where(F.col("conv_id").isNotNull()
+                     & F.col("turn_idx").isNotNull())
+            .withColumn("ts", F.to_timestamp("ts")))
+
+
+def write_transcripts_jsonl(df: DataFrame, path: str) -> None:
+    """Inverse of read_transcripts_jsonl (ts as ISO-8601 strings)."""
+    (df.withColumn("ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+     .write.mode("overwrite").json(path))

@@ -80,3 +80,25 @@ def test_read_fasta(spark, tmp_path):
     idx = {r["header"]: r["seq_idx"]
            for r in read_fasta(spark, str(p)).collect()}
     assert idx == {"seq one": 0, "seq two": 1, "empty": 2}
+
+
+def test_transcripts_jsonl_roundtrip(spark, tmp_path):
+    from edlib_spark.sources.transcripts import (read_transcripts_jsonl,
+                                                 synth_transcripts,
+                                                 write_transcripts_jsonl)
+    orig = synth_transcripts(spark, n_clusters=5, seed=42)
+    path = str(tmp_path / "t.jsonl")
+    write_transcripts_jsonl(orig, path)
+    back = read_transcripts_jsonl(spark, path)
+    a = {tuple(r) for r in orig.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+    # malformed rows (missing conv_id / turn_idx) are dropped
+    extra = tmp_path / "t.jsonl" / "part-malformed.json"
+    extra.write_text('{"role":"user","text":"no ids"}\n'
+                     '{"conv_id":"x","turn_idx":0,"role":"user",'
+                     '"text":"ok","tool":null,'
+                     '"ts":"2024-01-01T00:00:00"}\n')
+    again = read_transcripts_jsonl(spark, str(tmp_path / "t.jsonl"))
+    assert again.count() == orig.count() + 1
