@@ -339,6 +339,34 @@ _SQL_DOC_TOKENS = """
 """
 
 
+# BPE-ish pre-tokenization pattern (letter runs / digit runs / single
+# non-space symbols) — no lookaheads, so Java and RE2 agree exactly
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer regex (the
+    whitespace count in doc_token_stats is the cheap path; this is the
+    LLM-training-style count).  JVM-side regexp_extract_all."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint")
+        .alias("n_distinct_tokens"))
+
+
+_SQL_BPE_TOKENS = f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_RE}')))
+               AS BIGINT) AS n_distinct_tokens
+    FROM documents
+"""
+
+
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals: char count, token count, short-doc flag, mean
     token length x100, stopword count (English stopword-list hits) —
@@ -1081,6 +1109,7 @@ def build_queries():
         "nw_distance_documents_k": nw_distance_documents_k,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_token_stats": doc_token_stats,
+        "doc_bpe_tokens": doc_bpe_tokens,
         "doc_quality": doc_quality,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "top_similar_documents": top_similar_documents,
@@ -1126,6 +1155,7 @@ def build_oracle_sql():
         "nw_distance_documents_k": _SQL_NW_DOCUMENTS_K,
         "doc_exact_dedup": _SQL_DOC_DEDUP,
         "doc_token_stats": _SQL_DOC_TOKENS,
+        "doc_bpe_tokens": _SQL_BPE_TOKENS,
         "doc_quality": _SQL_DOC_QUALITY,
         "doc_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "top_similar_documents": _SQL_TOP_SIMILAR,
