@@ -67,7 +67,9 @@ pairs, {int(m['common_pairs']):,} recovered).
 
 Reproduce: `python tools/pipeline_bench.py {scale}`
 """
-    with open("/root/repo/BENCH/PIPELINE.md", "w") as fh:
+    out_path = ("/root/repo/BENCH/PIPELINE.md" if scale == "medium"
+                else f"/root/repo/BENCH/PIPELINE_{scale}.md")
+    with open(out_path, "w") as fh:
         fh.write(md)
     print(md)
 
