@@ -174,3 +174,28 @@ def test_tiny_edge_parity_vs_reference_binary(probe):
         assert [e for _, e in got["locations"]] == wends, ctx
         exp_starts = wstarts if wstarts else [None] * len(wends)
         assert [s for s, _ in got["locations"]] == exp_starts, ctx
+
+
+def test_multiblock_parity_vs_reference_binary(probe):
+    """Longer queries (up to ~5 blocks of 64) and text-search-shaped
+    HW cases (short query, long target): exercises multi-block Peq,
+    band growth/shrink across block boundaries, and strong-reduce."""
+    cases = _cases(150, seed=777, minq=60, maxq=320, mint=200, maxt=700)
+    cases += [("HW", t, k, "", q, tg) for (_, t, k, _, q, tg) in
+              _cases(80, seed=778, minq=5, maxq=30, mint=400, maxt=900)]
+    want = _run_reference(probe, cases)
+    for (mode, task, k, eqs, q, t), (wd, wends, wstarts, wcig) in zip(
+            cases, want):
+        pairs = [(eqs[i], eqs[i + 1]) for i in range(0, len(eqs), 2)]
+        got = kernel.align(q, t, mode=mode, task=task, k=k,
+                           additionalEqualities=pairs or None)
+        ctx = (mode, task, k, len(q), len(t))
+        assert got["editDistance"] == wd, ctx
+        if wd == -1:
+            continue
+        if task in ("locations", "path"):
+            assert [e for _, e in got["locations"]] == wends, ctx
+            exp_starts = wstarts if wstarts else [None] * len(wends)
+            assert [s for s, _ in got["locations"]] == exp_starts, ctx
+        if task == "path":
+            assert got["cigar"] == wcig, (ctx, got["cigar"], wcig)
