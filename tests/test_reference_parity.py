@@ -134,7 +134,7 @@ def _run_reference(probe_exe, cases):
 
 
 def test_random_parity_vs_reference_binary(probe):
-    cases = _cases(400, seed=1234)
+    cases = _cases(700, seed=1234)
     want = _run_reference(probe, cases)
     for (mode, task, k, eqs, q, t), (wd, wends, wstarts, wcig) in zip(
             cases, want):
