@@ -182,11 +182,23 @@ def test_stream_canonicalize_timeout_flush(spark, tmp_path):
         schema_str).coalesce(1).write.parquet(str(src / "f1.parquet"))
     schema = spark.read.parquet(str(src / "f1.parquet")).schema
     stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
-    out = stream_canonicalize(stream, end_role="end", timeout_ms=5000)
+    out = stream_canonicalize(stream, end_role="end", timeout_ms=3000)
+    # continuous trigger + explicit stop: availableNow's self-
+    # termination after a processing-time timeout drains no-data
+    # batches for minutes under load (measured 140-375s) — polling the
+    # sink and stopping is deterministic
     q = (out.writeStream.format("memory").queryName("canon_to")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
-    rows = spark.sql("select * from canon_to").collect()
+         .outputMode("append")
+         .trigger(processingTime="500 milliseconds").start())
+    import time
+    rows = []
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        rows = spark.sql("select * from canon_to").collect()
+        if rows:
+            break
+        time.sleep(1)
+    q.stop()
     assert len(rows) == 1
     assert rows[0].conv_id == "C" and rows[0].complete == "timeout"
     assert rows[0].full_text == "orphan-turn"
