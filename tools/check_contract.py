@@ -103,6 +103,9 @@ def main():
               f"cols={'=' if ok_cols else f'{scols} vs {dcols}'} "
               f"hash={'=' if ok_hash else f'{sh} vs {dh}'} ({dt:.1f}s)")
     spark.stop()
+    n = len([k for k in qs if not only or k in only])
+    print(f"SUMMARY: {n} queries checked, {failures} failures "
+          f"({len(oracles)} oracle-backed total)")
     sys.exit(1 if failures else 0)
 
 
