@@ -836,6 +836,32 @@ _SQL_NEARDUP_CLUSTERS = f"""
 """
 
 
+def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus a training pipeline keeps: one
+    representative document per near-dup group (min doc_id), with the
+    group size — i.e. the OUTPUT of the MinHash->verify->CC chain."""
+    clusters = doc_neardup_clusters(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    reps = (clusters.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+            .select(F.col("cluster_id").alias("doc_id"), "n_members"))
+    return (reps.join(docs.select("doc_id", F.length("text")
+                                  .cast("bigint").alias("n_chars")),
+                      "doc_id")
+            .select(F.col("doc_id").cast("bigint").alias("rep_id"),
+                    "n_members", "n_chars"))
+
+
+_SQL_DEDUP_CORPUS = f"""
+    WITH c AS ({_SQL_NEARDUP_CLUSTERS})
+    SELECT CAST(c.cluster_id AS BIGINT) AS rep_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM c JOIN documents d ON d.doc_id = c.cluster_id
+    GROUP BY c.cluster_id, length(d.text)
+"""
+
+
 def doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3 via band-key join; complete
     for hamming <= bands-1).  Rows-only: Spark xxhash64 has no DuckDB
@@ -1129,6 +1155,7 @@ def build_queries():
         "minhash_blocks_documents": minhash_blocks_documents,
         "doc_minhash_neardup": doc_minhash_neardup,
         "doc_neardup_clusters": doc_neardup_clusters,
+        "doc_dedup_corpus": doc_dedup_corpus,
         "doc_simhash_neardup": doc_simhash_neardup,
         "embedding_cosine_neardup": embedding_cosine_neardup,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1163,6 +1190,7 @@ def build_oracle_sql():
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "doc_minhash_neardup": _SQL_MINHASH_NEARDUP,
         "doc_neardup_clusters": _SQL_NEARDUP_CLUSTERS,
+        "doc_dedup_corpus": _SQL_DEDUP_CORPUS,
         "embedding_cosine_neardup": _SQL_COSINE_NEARDUP,
         "ann_ivf_topk": _SQL_ANN_IVF,
         "shw_distance_exact": _SQL_SHW_EXACT,
