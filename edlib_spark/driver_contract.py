@@ -1076,11 +1076,47 @@ _SQL_RESIZE_PLAN = """
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram feature vectors per media payload (vectorized
-    numpy inside mapInPandas; rows-only — no SQL byte iteration)."""
-    from .operators.multimodal import extract_features, media_from_documents
+    """Byte-histogram feature rows per media payload — one dense
+    (media_id, bin_idx, cnt) row per 16-byte-wide bin, vectorized numpy
+    inside mapInPandas.  Exploded (not array<float>) so the result is
+    hashable, and oracle-checked: the payload is the ASCII EDSM header +
+    document text, so DuckDB recomputes the exact byte histogram from
+    ``documents`` via ord() over each character."""
+    from .operators.multimodal import (extract_feature_counts,
+                                       media_from_documents)
     docs = _read(spark, sf_dir, "documents")
-    return extract_features(media_from_documents(docs))
+    return extract_feature_counts(media_from_documents(docs))
+
+
+_SQL_MEDIA_FEATURES = """
+    WITH m AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               'EDSM|' || (['image', 'audio', 'video'])[(doc_id % 3) + 1]
+               || '|' || CASE WHEN doc_id % 3 = 0
+                              THEN 32 + (doc_id % 8) * 16 ELSE 0 END
+               || '|' || CASE WHEN doc_id % 3 = 0
+                              THEN 32 + (doc_id % 5) * 24 ELSE 0 END
+               || '|' || CASE WHEN doc_id % 3 = 1
+                              THEN 8000 + (doc_id % 4) * 8000 ELSE 0 END
+               || '|' || CASE WHEN doc_id % 3 = 2
+                              THEN 1 + doc_id % 60 ELSE 0 END
+               || '|' || text AS payload
+        FROM documents),
+    pos AS (
+        SELECT media_id, payload,
+               unnest(range(1, length(payload) + 1)) AS i
+        FROM m),
+    h AS (
+        SELECT media_id,
+               ord(substr(payload, CAST(i AS INT), 1)) // 16 AS bin_idx,
+               count(*) AS cnt
+        FROM pos GROUP BY 1, 2),
+    bins AS (SELECT unnest(range(16)) AS bin_idx)
+    SELECT m.media_id, CAST(bins.bin_idx AS INT) AS bin_idx,
+           CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt
+    FROM m CROSS JOIN bins
+    LEFT JOIN h ON h.media_id = m.media_id AND h.bin_idx = bins.bin_idx
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1197,6 +1233,7 @@ def build_oracle_sql():
         "media_decode_meta": _SQL_MEDIA_META,
         "media_frame_sample": _SQL_FRAME_SAMPLE,
         "media_resize_plan": _SQL_RESIZE_PLAN,
+        "media_features": _SQL_MEDIA_FEATURES,
         "transcripts_canonical_small": _sql_transcripts_canonical_small(),
         # hw/shw/path/minhash/clusters_small: no SQL equivalent
         # (rows-only checks)

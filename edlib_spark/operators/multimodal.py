@@ -52,6 +52,12 @@ FEATURES_SCHEMA = StructType([
     StructField("features", ArrayType(FloatType())),
 ])
 
+FEATURE_COUNTS_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("bin_idx", IntegerType()),
+    StructField("cnt", LongType()),
+])
+
 _N_FEATURE_BINS = 16
 
 
@@ -150,6 +156,43 @@ def extract_features(media: DataFrame,
                                 "features": feats})
 
     return media.mapInPandas(features, FEATURES_SCHEMA)
+
+
+def extract_feature_counts(media: DataFrame,
+                           n_bins: int = _N_FEATURE_BINS) -> DataFrame:
+    """Exploded byte-histogram features: one row per (media_id, bin_idx)
+    carrying the raw byte count, dense (zero bins included) so the row
+    set per media is exactly ``n_bins`` wide.  This is the hashable /
+    SQL-oracle-able form of :func:`extract_features` — ``cnt /
+    sum(cnt) over media_id`` reproduces the normalized vector.
+
+    The whole Arrow batch is histogrammed in one vectorized pass: all
+    payloads are concatenated into a single uint8 array and binned with
+    one ``np.bincount`` over ``owner * n_bins + (byte >> shift)``.
+    """
+    shift = int(np.log2(256 // n_bins))
+
+    def counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            payloads = [bytes(p) if p is not None else b""
+                        for p in pdf["payload"]]
+            lens = np.fromiter((len(p) for p in payloads),
+                               dtype=np.int64, count=n)
+            if n and lens.sum():
+                allb = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                owner = np.repeat(np.arange(n, dtype=np.int64), lens)
+                hist = np.bincount(owner * n_bins + (allb >> shift),
+                                   minlength=n * n_bins)
+            else:
+                hist = np.zeros(n * n_bins, dtype=np.int64)
+            yield pd.DataFrame({
+                "media_id": np.repeat(pdf["media_id"].to_numpy(), n_bins),
+                "bin_idx": np.tile(np.arange(n_bins, dtype=np.int32), n),
+                "cnt": hist,
+            })
+
+    return media.mapInPandas(counts, FEATURE_COUNTS_SCHEMA)
 
 
 def sample_frames(decoded: DataFrame, every: int = 10) -> DataFrame:

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from edlib_spark.operators.multimodal import (_decode_image_real,
                                               decode_media,
+                                              extract_feature_counts,
                                               extract_features,
                                               media_from_documents,
                                               resize_images, sample_frames)
@@ -60,6 +61,25 @@ def test_features_shape_and_normalization(media):
         assert len(r.features) == 16
         assert abs(sum(r.features) - 1.0) < 1e-5
         assert all(v >= 0 for v in r.features)
+
+
+def test_feature_counts_match_vectors(media):
+    """Exploded (media_id, bin_idx, cnt) rows are dense (16 per media)
+    and normalize to exactly the array form of extract_features."""
+    n_media = media.count()
+    rows = extract_feature_counts(media, n_bins=16).collect()
+    assert len(rows) == n_media * 16
+    hist = {}
+    for r in rows:
+        hist.setdefault(r.media_id, [0] * 16)[r.bin_idx] = r.cnt
+    vecs = {r.media_id: r.features
+            for r in extract_features(media, n_bins=16).collect()}
+    assert set(hist) == set(vecs)
+    for mid, counts in hist.items():
+        total = sum(counts)
+        assert total > 0
+        for got, want in zip((c / total for c in counts), vecs[mid]):
+            assert abs(got - want) < 1e-6
 
 
 def test_frame_sampling(media):
