@@ -61,9 +61,11 @@ typedef struct {
     int64_t *stamp;     /* generation stamps (avoids per-pair memset) */
     int64_t gen;
     int32_t *qs, *ts;   /* recoded scratch */
-    word *peq, *pv, *mv;
+    word *peq, *peq2, *pv, *mv;
     int64_t *score;
     int64_t cap_nb, cap_sigma, cap_q, cap_t;
+    const uint32_t *eqa, *eqb;  /* additional-equality codepoint pairs */
+    int64_t n_eq;
 } scratch;
 
 /* Distance for one pair of raw codepoint sequences.
@@ -73,8 +75,9 @@ static int32_t pair_distance(const uint32_t *q, int64_t qlen,
                              const uint32_t *t, int64_t tlen,
                              int64_t k, int mode, scratch *s) {
     if (qlen == 0 || tlen == 0) {
+        /* reference short-circuit ignores k entirely (edlib.cpp:165-184) */
         int64_t d = (mode == 0) ? (qlen > tlen ? qlen : tlen) : qlen;
-        return (k < 0 || d <= k) ? (int32_t)d : -1;
+        return (int32_t)d;
     }
     if (k < 0) k = (mode == 0) ? (qlen > tlen ? qlen : tlen) : qlen;
     if (mode == 2 && k > qlen) k = qlen;
@@ -108,6 +111,25 @@ static int32_t pair_distance(const uint32_t *q, int64_t qlen,
     memset(peq, 0, (size_t)(sigma * nb) * sizeof(word));
     for (int64_t r = 0; r < qlen; r++)
         peq[(int64_t)s->qs[r] * nb + (r >> 6)] |= 1ULL << (r & 63);
+    if (s->n_eq > 0) {
+        /* Additional equalities widen the match profile: plane[b] also
+           gets the query-row bits of every symbol declared equal to b.
+           ORs read a SNAPSHOT of the identity planes: the relation is
+           not transitive ('N'~'A' and 'N'~'C' must not imply 'A'~'C'),
+           matching the reference matrix (edlib.cpp:63-94). */
+        memcpy(s->peq2, peq, (size_t)(sigma * nb) * sizeof(word));
+        for (int64_t e = 0; e < s->n_eq; e++) {
+            uint32_t a = s->eqa[e], c = s->eqb[e];
+            if (a >= BMP || c >= BMP) continue;
+            if (s->stamp[a] != s->gen || s->stamp[c] != s->gen) continue;
+            int64_t ca = s->map[a], cb = s->map[c];
+            if (ca == cb) continue;
+            for (int64_t blk = 0; blk < nb; blk++) {
+                peq[cb * nb + blk] |= s->peq2[ca * nb + blk];
+                peq[ca * nb + blk] |= s->peq2[cb * nb + blk];
+            }
+        }
+    }
     int64_t w = nb * WBITS - qlen;
     if (w > 0) {
         word padmask = ~0ULL << (WBITS - w);
@@ -186,6 +208,7 @@ int batch_distance(const uint32_t *qbuf, const int64_t *qstart,
                    const uint32_t *tbuf, const int64_t *tstart,
                    const int64_t *tlens,
                    const int64_t *ks, int64_t n, int mode,
+                   const uint32_t *eqa, const uint32_t *eqb, int64_t n_eq,
                    int32_t *out) {
     int64_t max_nb = 1, max_q = 1, max_t = 1;
     for (int64_t i = 0; i < n; i++) {
@@ -201,6 +224,7 @@ int batch_distance(const uint32_t *qbuf, const int64_t *qstart,
     s.cap_sigma = BMP;
     s.cap_q = max_q; s.cap_t = max_t;
     s.gen = 0;
+    s.eqa = eqa; s.eqb = eqb; s.n_eq = n_eq;
     s.map = (int32_t *)malloc(BMP * sizeof(int32_t));
     s.stamp = (int64_t *)calloc(BMP, sizeof(int64_t));
     s.qs = (int32_t *)malloc((size_t)max_q * sizeof(int32_t));
@@ -208,13 +232,16 @@ int batch_distance(const uint32_t *qbuf, const int64_t *qstart,
     /* peq sized for 512 symbols; larger alphabets grow on demand */
     int64_t peq_sigma = 512;
     s.peq = (word *)malloc((size_t)(peq_sigma * max_nb) * sizeof(word));
+    s.peq2 = (n_eq > 0)
+        ? (word *)malloc((size_t)(peq_sigma * max_nb) * sizeof(word))
+        : NULL;
     s.pv = (word *)malloc((size_t)max_nb * sizeof(word));
     s.mv = (word *)malloc((size_t)max_nb * sizeof(word));
     s.score = (int64_t *)malloc((size_t)max_nb * sizeof(int64_t));
     if (!s.map || !s.stamp || !s.qs || !s.ts || !s.peq || !s.pv || !s.mv
-        || !s.score) {
+        || !s.score || (n_eq > 0 && !s.peq2)) {
         free(s.map); free(s.stamp); free(s.qs); free(s.ts); free(s.peq);
-        free(s.pv); free(s.mv); free(s.score);
+        free(s.peq2); free(s.pv); free(s.mv); free(s.score);
         return -1;
     }
     for (int64_t i = 0; i < n; i++) {
@@ -228,13 +255,19 @@ int batch_distance(const uint32_t *qbuf, const int64_t *qstart,
                 s.peq, (size_t)(peq_sigma * max_nb) * sizeof(word));
             if (!np_) { out[i] = UNSUPPORTED; continue; }
             s.peq = np_;
+            if (n_eq > 0) {
+                word *np2 = (word *)realloc(
+                    s.peq2, (size_t)(peq_sigma * max_nb) * sizeof(word));
+                if (!np2) { out[i] = UNSUPPORTED; continue; }
+                s.peq2 = np2;
+            }
         }
         s.cap_sigma = peq_sigma;
         out[i] = pair_distance(qbuf + qstart[i], ql, tbuf + tstart[i],
                                tl, ks[i], mode, &s);
     }
     free(s.map); free(s.stamp); free(s.qs); free(s.ts); free(s.peq);
-    free(s.pv); free(s.mv); free(s.score);
+    free(s.peq2); free(s.pv); free(s.mv); free(s.score);
     return 0;
 }
 """
@@ -245,6 +278,7 @@ int batch_distance(const uint32_t *qbuf, const int64_t *qstart,
                    const uint32_t *tbuf, const int64_t *tstart,
                    const int64_t *tlens,
                    const int64_t *ks, int64_t n, int mode,
+                   const uint32_t *eqa, const uint32_t *eqb, int64_t n_eq,
                    int32_t *out);
 """
 
@@ -291,9 +325,11 @@ _build()
 
 
 def native_batch_distance(q_flat, q_start, q_lens, t_flat, t_start,
-                          t_lens, ks, mode: str):
+                          t_lens, ks, mode: str, equalities=None):
     """Run the native kernel over flat uint32 codepoint buffers with
     per-pair (start, len) views — no copying or recoding in Python.
+    ``equalities``: optional (eqa, eqb) pair of uint32 codepoint arrays
+    (additional-equality pairs applied to every pair in the batch).
     Returns int32 results (UNSUPPORTED sentinel per unhandled pair), or
     None when the native library is unavailable."""
     import numpy as np
@@ -303,6 +339,15 @@ def native_batch_distance(q_flat, q_start, q_lens, t_flat, t_start,
     n = len(q_lens)
     out = np.empty(n, dtype=np.int32)
     mode_id = {"NW": 0, "SHW": 1, "HW": 2}[mode]
+    if equalities is not None:
+        eqa = np.ascontiguousarray(equalities[0], dtype=np.uint32)
+        eqb = np.ascontiguousarray(equalities[1], dtype=np.uint32)
+        eqa_p = ffi.cast("const uint32_t *", eqa.ctypes.data)
+        eqb_p = ffi.cast("const uint32_t *", eqb.ctypes.data)
+        n_eq = len(eqa)
+    else:
+        eqa_p = eqb_p = ffi.NULL
+        n_eq = 0
     rc = lib.batch_distance(
         ffi.cast("const uint32_t *", q_flat.ctypes.data),
         ffi.cast("const int64_t *", q_start.ctypes.data),
@@ -311,7 +356,7 @@ def native_batch_distance(q_flat, q_start, q_lens, t_flat, t_start,
         ffi.cast("const int64_t *", t_start.ctypes.data),
         ffi.cast("const int64_t *", t_lens.ctypes.data),
         ffi.cast("const int64_t *", ks.ctypes.data),
-        n, mode_id,
+        n, mode_id, eqa_p, eqb_p, n_eq,
         ffi.cast("int32_t *", out.ctypes.data))
     if rc != 0:
         return None

@@ -76,17 +76,37 @@ def encode_flat(strings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return buf, start, lens
 
 
+def _encode_equalities(equalities):
+    """Normalize additional-equality pairs (single-char str or int
+    codepoints, the reference's EdlibEqualityPair edlib.h:92-95) into two
+    parallel uint32 codepoint arrays.  Symmetry is applied downstream
+    (both OR directions), matching the reference's symmetric matrix."""
+    if not equalities:
+        return None
+    a = np.fromiter((ord(p[0]) if isinstance(p[0], str) else int(p[0])
+                     for p in equalities), dtype=np.uint32)
+    b = np.fromiter((ord(p[1]) if isinstance(p[1], str) else int(p[1])
+                     for p in equalities), dtype=np.uint32)
+    return a, b
+
+
 def batch_edit_distance(queries, targets, mode: str = "NW", k=-1,
-                        use_native: bool = True):
+                        use_native: bool = True, equalities=None):
     """Edit distances for N (query, target) pairs; -1 where distance > k.
 
     ``queries``/``targets``: sequences of str (None treated as "").
     ``k``: scalar or array of per-pair bounds; negative = unbounded.
     ``use_native``: try the cffi-compiled scan first (same results).
+    ``equalities``: optional iterable of (a, b) single-char pairs that
+    the aligner treats as matching (EdlibEqualityPair semantics,
+    reference edlib/src/edlib.cpp:63-94) — applied batch-wide as extra
+    Peq plane ORs, so the hot path stays fully vectorized.
     Returns an int32 array of length N.
     """
     if mode not in ("NW", "SHW", "HW"):
         raise ValueError(f"invalid mode {mode!r}")
+    eq_cp = equalities if isinstance(equalities, tuple) \
+        else _encode_equalities(equalities)
     n = len(queries)
     if len(targets) != n:
         raise ValueError("queries and targets must have equal length")
@@ -107,7 +127,7 @@ def batch_edit_distance(queries, targets, mode: str = "NW", k=-1,
         if len(bidx):
             out[bidx] = batch_edit_distance(
                 [queries[i] for i in bidx], [targets[i] for i in bidx],
-                mode, k_arr[bidx], use_native)
+                mode, k_arr[bidx], use_native, eq_cp)
         uq = [queries[i] or "" for i in uidx]
         ut = [targets[i] or "" for i in uidx]
         qlens = np.array([len(s) for s in uq], dtype=np.int64)
@@ -120,7 +140,7 @@ def batch_edit_distance(queries, targets, mode: str = "NW", k=-1,
             kk = np.minimum(ktry, cap[active])
             got = batch_edit_distance(
                 [uq[i] for i in active], [ut[i] for i in active],
-                mode, kk, use_native)
+                mode, kk, use_native, eq_cp)
             final = (got >= 0) | (kk >= cap[active])
             res[active[final]] = got[final]
             active = active[~final]
@@ -135,14 +155,16 @@ def batch_edit_distance(queries, targets, mode: str = "NW", k=-1,
         k_arr = np.minimum(k_arr, q_lens)
 
     # ---- empty-sequence short circuit (edlib.cpp:165-184) ----
+    # NOTE: the reference returns the distance here WITHOUT comparing
+    # against k (its short-circuit precedes all k logic); kernel.align
+    # matches, so the batch path must too.
     empty = (q_lens == 0) | (t_lens == 0)
     if empty.any():
         if mode == "NW":
             d = np.maximum(q_lens, t_lens)
         else:
             d = q_lens.copy()
-        ok = empty & (d <= k_arr)
-        out[ok] = d[ok].astype(np.int32)
+        out[empty] = d[empty].astype(np.int32)
 
     todo = np.nonzero(~empty)[0]
     if mode == "NW":
@@ -163,7 +185,7 @@ def batch_edit_distance(queries, targets, mode: str = "NW", k=-1,
                 np.ascontiguousarray(q_lens[todo]),
                 t_buf, np.ascontiguousarray(t_start[todo]),
                 np.ascontiguousarray(t_lens[todo]),
-                np.ascontiguousarray(k_arr[todo]), mode)
+                np.ascontiguousarray(k_arr[todo]), mode, eq_cp)
             if got is not None:
                 ok = got != _native.UNSUPPORTED
                 out[todo[ok]] = got[ok]
@@ -177,6 +199,18 @@ def batch_edit_distance(queries, targets, mode: str = "NW", k=-1,
     all_codes = np.concatenate(
         [q_codes[i] for i in todo] + [t_codes[i] for i in todo])
     alphabet = np.unique(all_codes)
+
+    # equality pairs mapped onto this batch's dense alphabet; pairs whose
+    # symbols never occur are dropped (no-ops)
+    eq_dense = []
+    if eq_cp is not None:
+        for a, bsym in zip(*eq_cp):
+            ia = int(np.searchsorted(alphabet, a))
+            ib = int(np.searchsorted(alphabet, bsym))
+            if (ia < len(alphabet) and ib < len(alphabet)
+                    and alphabet[ia] == a and alphabet[ib] == bsym
+                    and ia != ib):
+                eq_dense.append((ia, ib))
 
     # order by (num_blocks, target_length); bucket nearby block counts
     # together (padding queries up to the bucket max) so chunks stay big
@@ -206,7 +240,7 @@ def batch_edit_distance(queries, targets, mode: str = "NW", k=-1,
         while pos < end:
             sub = todo[pos:min(end, pos + max_chunk)]
             _chunk_distance(sub, q_codes, t_codes, q_lens, t_lens, k_arr,
-                            alphabet, b, mode, out)
+                            alphabet, b, mode, out, eq_dense)
             pos += len(sub)
     return out
 
@@ -252,7 +286,7 @@ def _build_peq(sub, q_codes, q_lens, alphabet, b):
 
 
 def _chunk_distance(sub, q_codes, t_codes, q_lens, t_lens, k_arr,
-                    alphabet, b, mode, out):
+                    alphabet, b, mode, out, eq_dense=()):
     """Run the vectorized Myers scan for one homogeneous chunk.
 
     A *shared* Ukkonen band in block space is applied across the whole
@@ -269,6 +303,18 @@ def _chunk_distance(sub, q_codes, t_codes, q_lens, t_lens, k_arr,
     kk = k_arr[sub]
 
     peq = _build_peq(sub, q_codes, q_lens, alphabet, b)
+    if eq_dense:
+        # Equality pairs widen the match profile: plane[t_sym] also gets
+        # the query-row bits of every symbol declared equal to t_sym.
+        # ORs are taken from a SNAPSHOT of the identity planes because
+        # the relation is not transitive (reference edlib.cpp:63-94:
+        # 'N'~'A' and 'N'~'C' must not imply 'A'~'C').  Pad bits are
+        # identical across planes, so post-pad ORs are safe.
+        involved = {c for pair in eq_dense for c in pair}
+        snap = {c: peq[:, c, :].copy() for c in involved}
+        for ca, cb in eq_dense:
+            peq[:, cb, :] |= snap[ca]
+            peq[:, ca, :] |= snap[cb]
 
     max_t = int(tlen.max())
     tpad = np.zeros((n, max_t), dtype=np.int64)

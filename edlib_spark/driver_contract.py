@@ -657,7 +657,13 @@ _SQL_SHW_EXACT = """
 def equality_align_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom equality pairs (the reference's EdlibEqualityPair,
     edlib.h:92-95): case-folding equivalences supplied to the aligner
-    instead of preprocessing the text.  Rows-only (no SQL analogue)."""
+    instead of preprocessing the text.  Runs through the BATCHED kernel
+    (equality-aware Peq planes, single Arrow boundary, no per-row
+    Python).  Oracle: the 26 (lower, upper) pairs form exactly the
+    kernel of upper(), so the equality-aware NW distance equals
+    levenshtein(upper(a), upper(b)).  Non-equivalence relations
+    ('N'~'A' without 'A'~'C') have no such SQL reduction; those are
+    pinned by the reference-binary parity suite."""
     docs = _read(spark, sf_dir, "documents")
     a = docs.select(F.col("doc_id").alias("id_a"),
                     F.upper(F.substring("text", 1, 60)).alias("text_a"))
@@ -665,14 +671,23 @@ def equality_align_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("doc_id").alias("id_b"),
                     F.substring("text", 1, 60).alias("text_b"))
     eqs = [(chr(c), chr(c).upper()) for c in range(ord("a"), ord("z") + 1)]
-    res = align_expr(F.col("text_a"), F.col("text_b"), mode="NW",
-                     task="distance", additional_equalities=eqs)
     return (a.join(b, "id_a")
             .select(F.col("id_a").cast("bigint").alias("id_a"),
                     F.col("id_b").cast("bigint").alias("id_b"),
                     F.col("text_a"),
-                    res.getField("editDistance").cast("bigint")
-                    .alias("edit_distance")))
+                    edit_distance(F.col("text_a"), F.col("text_b"), "NW",
+                                  -1, additional_equalities=eqs)
+                    .cast("bigint").alias("edit_distance")))
+
+
+_SQL_EQUALITY_ALIGN = """
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           upper(a.text[1:60]) AS text_a,
+           CAST(levenshtein(upper(a.text[1:60]), upper(b.text[1:60]))
+                AS BIGINT) AS edit_distance
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
 
 
 def hw_locations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1230,6 +1245,7 @@ def build_oracle_sql():
         "embedding_cosine_neardup": _SQL_COSINE_NEARDUP,
         "ann_ivf_topk": _SQL_ANN_IVF,
         "shw_distance_exact": _SQL_SHW_EXACT,
+        "equality_align_documents": _SQL_EQUALITY_ALIGN,
         "media_decode_meta": _SQL_MEDIA_META,
         "media_frame_sample": _SQL_FRAME_SAMPLE,
         "media_resize_plan": _SQL_RESIZE_PLAN,

@@ -40,18 +40,26 @@ ALIGN_RESULT_TYPE = StructType([
 
 
 def edit_distance(query: Column, target: Column, mode: str = "NW",
-                  k=-1) -> Column:
+                  k=-1, additional_equalities=None) -> Column:
     """Edit distance column; -1 where the distance exceeds k.
 
     ``k`` may be an int (same bound for all rows) or a Column (per-pair
     bound, e.g. ``F.ceil(tau * F.greatest(len_a, len_b))``).
+    ``additional_equalities``: optional (a, b) char pairs the aligner
+    treats as equal (EdlibEqualityPair, reference edlib.h:92-95) —
+    handled inside the batch kernel's Peq profile, so bulk scoring with
+    wildcards / case-folding equivalences stays fully vectorized.
     """
+    eqs = ([(str(a), str(b)) for a, b in additional_equalities]
+           if additional_equalities else None)
+
     if isinstance(k, Column):
         @pandas_udf(IntegerType())
         def _dist(q: pd.Series, t: pd.Series, kk: pd.Series) -> pd.Series:
             ks = kk.fillna(-1).astype("int64").to_numpy()
             return pd.Series(
-                batch_edit_distance(q.tolist(), t.tolist(), mode, ks))
+                batch_edit_distance(q.tolist(), t.tolist(), mode, ks,
+                                    equalities=eqs))
         return _dist(query, target, k)
 
     k_val = int(k)
@@ -59,7 +67,8 @@ def edit_distance(query: Column, target: Column, mode: str = "NW",
     @pandas_udf(IntegerType())
     def _dist_fixed(q: pd.Series, t: pd.Series) -> pd.Series:
         return pd.Series(
-            batch_edit_distance(q.tolist(), t.tolist(), mode, k_val))
+            batch_edit_distance(q.tolist(), t.tolist(), mode, k_val,
+                                equalities=eqs))
     return _dist_fixed(query, target)
 
 

@@ -114,3 +114,47 @@ def test_batch_mixed_block_counts_one_call():
     for i in range(len(qs)):
         exp, _ = simple_edit_distance(qs[i], ts[i], "NW")
         assert got[i] == exp
+
+
+def test_batch_empty_ignores_k():
+    """The reference's empty-sequence short-circuit returns the distance
+    WITHOUT consulting k (edlib.cpp:165-184 precedes all k logic); the
+    batch path must match kernel.align here."""
+    qs = ["", "abcdef", "", None]
+    ts = ["abcdef", "", "", "xyzxyz"]
+    for mode, exp in (("NW", [6, 6, 0, 6]),
+                      ("SHW", [0, 6, 0, 0]),
+                      ("HW", [0, 6, 0, 0])):
+        for use_native in (True, False):
+            got = batch_edit_distance(qs, ts, mode=mode, k=2,
+                                      use_native=use_native)
+            assert got.tolist() == exp, (mode, use_native)
+            for q, t, e in zip(qs, ts, exp):
+                assert align(q or "", t or "", mode=mode,
+                             k=2)["editDistance"] == e
+
+
+def test_batch_equalities_match_kernel():
+    """Batched additional-equality scoring (native + numpy) vs the
+    exact kernel, covering case-folding and non-transitive wildcards."""
+    rng = np.random.default_rng(7)
+    eqs_case = [(chr(c), chr(c).upper())
+                for c in range(ord("a"), ord("z") + 1)]
+    eqs_nuc = [("n", "a"), ("n", "c"), ("n", "g"), ("n", "t")]
+    for alpha, eqs in ((6, eqs_case), (4, eqs_nuc)):
+        qs = _random_strings(rng, 40, alpha, 0, 150)
+        ts = _random_strings(rng, 40, alpha, 0, 250)
+        if eqs is eqs_case:
+            qs = [q.upper() if i % 2 else q for i, q in enumerate(qs)]
+        else:
+            qs = [q.replace("a", "n") if i % 2 else q
+                  for i, q in enumerate(qs)]
+        for mode in MODES:
+            want = [align(q, t, mode=mode,
+                          additionalEqualities=eqs)["editDistance"]
+                    for q, t in zip(qs, ts)]
+            for use_native in (True, False):
+                got = batch_edit_distance(qs, ts, mode=mode, k=-1,
+                                          use_native=use_native,
+                                          equalities=eqs)
+                assert got.tolist() == want, (mode, use_native)

@@ -91,3 +91,17 @@ def test_length_prefilter_precedes_kernel(spark, transcripts_parquet):
     assert arrow_pos != -1 and filter_pos != -1, p
     assert filter_pos > arrow_pos, (
         "length prefilter should execute before the Arrow boundary", p)
+
+
+def test_equality_scoring_is_batched_single_arrow_boundary(spark):
+    """Bulk scoring with additional equalities (the reference's
+    EdlibEqualityPair headline use) must run through the batched kernel:
+    exactly one ArrowEvalPython boundary, no per-row kernel.align loop
+    (which would show as a second Python eval or a plain BatchEvalPython
+    row-at-a-time node)."""
+    from edlib_spark.driver_contract import equality_align_documents
+    df = equality_align_documents(spark, "/root/testdata/sf0.001")
+    p = plan_of(df, "simple")
+    assert p.count("ArrowEvalPython") == 1, p
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p

@@ -199,3 +199,38 @@ def test_multiblock_parity_vs_reference_binary(probe):
             assert [s for s, _ in got["locations"]] == exp_starts, ctx
         if task == "path":
             assert got["cigar"] == wcig, (ctx, got["cigar"], wcig)
+
+
+def test_batched_equality_parity_vs_reference_binary(probe):
+    """The BATCH kernel with additional equalities vs the reference
+    binary: one batch call per (mode, equality set) so the
+    equality-aware Peq planes run through the chunked hot path — both
+    the native (cffi) and numpy lanes.  Includes a non-transitive set
+    ('a'~'c','a'~'g','a'~'t' without c~g) that a recode-based
+    implementation could not express."""
+    from edlib_spark.batch import batch_edit_distance
+    eq_sets = {"ac": [("a", "c")],
+               "agct": [("a", "g"), ("c", "t")],
+               "acagat": [("a", "c"), ("a", "g"), ("a", "t")]}
+    rng = np.random.default_rng(4242)
+    alpha = "acgt"
+    for mode in ("NW", "SHW", "HW"):
+        for eqs, pairs in eq_sets.items():
+            qs, ts, ks, cases = [], [], [], []
+            for _ in range(60):
+                q = "".join(alpha[i] for i in rng.integers(
+                    0, 4, rng.integers(0, 150)))
+                t = "".join(alpha[i] for i in rng.integers(
+                    0, 4, rng.integers(0, 250)))
+                k = int([-1, -1, rng.integers(0, 60)][int(
+                    rng.integers(0, 3))])
+                qs.append(q)
+                ts.append(t)
+                ks.append(k)
+                cases.append((mode, "distance", k, eqs, q, t))
+            want = [w[0] for w in _run_reference(probe, cases)]
+            for use_native in (True, False):
+                got = batch_edit_distance(
+                    qs, ts, mode, np.array(ks), use_native=use_native,
+                    equalities=pairs)
+                assert got.tolist() == want, (mode, eqs, use_native)
