@@ -389,8 +389,10 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # mirrors edlib_spark.operators.textops._STOPWORDS["en"]
-_EN_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "that",
-                 "for", "it"]
+# single source of truth: the same list lang_id scores against
+from .operators.textops import _STOPWORDS as _TEXTOPS_STOPWORDS  # noqa: E402
+
+_EN_STOPWORDS = _TEXTOPS_STOPWORDS["en"]
 
 _SQL_DOC_QUALITY = f"""
     WITH s AS (
@@ -553,11 +555,51 @@ _SQL_NGRAM_JACCARD = """
 
 
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-heuristic language ID (rows-only: heuristic op)."""
+    """Stopword-heuristic language ID.  Oracle-checked: the heuristic is
+    pure stopword-count arithmetic (argmax with first-wins ties in
+    declaration order), which _sql_doc_lang_id regenerates in SQL from
+    the same shared stopword table."""
     from .operators.textops import lang_id
     docs = _read(spark, sf_dir, "documents")
     return docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                        lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_doc_lang_id() -> str:
+    """DuckDB twin of textops.lang_id, generated from the SAME stopword
+    dict (single source of truth).  Tie semantics: the Spark loop only
+    replaces the leader on a strictly greater score, so the winner is
+    the FIRST language (declaration order) attaining the max — encoded
+    here as a cascade of >= comparisons against later languages."""
+    from .operators.textops import _STOPWORDS
+    langs = list(_STOPWORDS)
+    counts = ",\n               ".join(
+        "len(list_filter(tk, t -> t IN ({}))) AS {}".format(
+            ", ".join(f"'{w}'" for w in _STOPWORDS[lang]), lang)
+        for lang in langs)
+    all_zero = " AND ".join(f"{lang} = 0" for lang in langs)
+    branches = "\n             ".join(
+        "WHEN {} THEN '{}'".format(
+            " AND ".join(f"{lang} >= {other}"
+                         for other in langs[i + 1:]) or "TRUE", lang)
+        for i, lang in enumerate(langs[:-1]))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS tk
+            FROM documents),
+        s AS (
+            SELECT doc_id,
+               {counts}
+            FROM toks)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN {all_zero} THEN 'und'
+             {branches}
+             ELSE '{langs[-1]}'
+               END AS lang_pred
+        FROM s
+    """
 
 
 def doc_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,6 +691,44 @@ _SQL_SHW_EXACT = """
            CAST(list_min(list_transform(
                     range(0, length(tb) + 1),
                     j -> levenshtein(ta, tb[1:j]))) AS BIGINT)
+               AS edit_distance
+    FROM p
+"""
+
+
+def hw_distance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HW (infix) mode WITH an exact oracle: HW distance is the min of
+    levenshtein(query, t[i..j]) over every substring of the target —
+    both start and end are free (edlib.cpp:532-704, mode HW).  Targets
+    are truncated to keep the oracle's O(|t|^2) substring expansion
+    affordable; the untruncated variant stays in
+    ``hw_distance_documents`` (pinned by reference-binary parity)."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.substring("text", 10, 25).alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"),
+                    F.substring("text", 1, 80).alias("text_b"))
+    return (a.join(b, "id_a")
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    edit_distance(F.col("text_a"), F.col("text_b"),
+                                  "HW", -1)
+                    .cast("bigint").alias("edit_distance")))
+
+
+_SQL_HW_EXACT = """
+    WITH p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.text[10:34] AS ta, b.text[1:80] AS tb
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CAST(list_min(flatten(list_transform(
+                    range(0, length(tb) + 1),
+                    i -> list_transform(
+                        range(i, length(tb) + 1),
+                        j -> levenshtein(ta, tb[i + 1:j]))))) AS BIGINT)
                AS edit_distance
     FROM p
 """
@@ -1199,6 +1279,7 @@ def build_queries():
         "hw_distance_documents": hw_distance_documents,
         "shw_distance_documents": shw_distance_documents,
         "shw_distance_exact": shw_distance_exact,
+        "hw_distance_exact": hw_distance_exact,
         "equality_align_documents": equality_align_documents,
         "hw_locations_documents": hw_locations_documents,
         "nice_alignment_documents": nice_alignment_documents,
@@ -1245,7 +1326,9 @@ def build_oracle_sql():
         "embedding_cosine_neardup": _SQL_COSINE_NEARDUP,
         "ann_ivf_topk": _SQL_ANN_IVF,
         "shw_distance_exact": _SQL_SHW_EXACT,
+        "hw_distance_exact": _SQL_HW_EXACT,
         "equality_align_documents": _SQL_EQUALITY_ALIGN,
+        "doc_lang_id": _sql_doc_lang_id(),
         "media_decode_meta": _SQL_MEDIA_META,
         "media_frame_sample": _SQL_FRAME_SAMPLE,
         "media_resize_plan": _SQL_RESIZE_PLAN,
