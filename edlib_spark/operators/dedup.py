@@ -111,19 +111,100 @@ def cosine(a: Column, b: Column) -> Column:
 
 def cosine_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         threshold: float = 0.45) -> DataFrame:
+                         threshold: float = 0.45,
+                         n_blocks: int = 8) -> DataFrame:
     """(id_a, id_b, cos_r) for embedding pairs with cosine >=
     ``threshold`` (rounded to 4 dp for stable cross-engine hashing).
+    EXACT (no candidate can be missed), with no Catalyst cross join.
 
-    Exact all-pairs at test scale; at 100 TB candidates come from
-    textops.embedding_lsh_key bucket equi-joins instead of the cross
-    join (see driver_contract.ann_lsh_topk for the bucketed path)."""
+    Scale design — blocked GEMM, not LSH.  At a weak threshold like
+    0.45 the sign-LSH bit-agreement probability is only
+    1 - acos(0.45)/pi ~ 0.65, so no (rows, bands) choice gives both
+    candidate reduction and near-1 recall: exact low-threshold cosine
+    is inherently all-pairs work.  The scale-safe *shape* for that work
+    is the standard distributed brute-force similarity plan:
+
+      1. hash each vector into one of ``n_blocks`` blocks;
+      2. broadcast the B(B+1)/2 block-pair task list and replicate each
+         vector to the tasks it participates in (shuffle volume n*B
+         rows — NOT the n^2 rows a theta join materializes);
+      3. per task, one vectorized numpy GEMM over the two blocks inside
+         applyInPandas emits only pairs above ``threshold`` minus a
+         float-error margin;
+      4. the few surviving candidates are re-verified JVM-side with the
+         same Catalyst ``cosine`` expression, so emitted values are
+         bit-identical to a pure-Catalyst evaluation.
+
+    At 100 TB, ``n_blocks`` scales so one block pair fits executor
+    memory (rows_per_block * dim * 8 bytes ~ a few hundred MB); tasks
+    grow as B^2 and parallelize freely.  For HIGH thresholds (>= ~0.9,
+    the usual near-dup regime) prefer the sub-quadratic LSH bucket path
+    (textops.embedding_lsh_key, see driver_contract.ann_lsh_topk).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (LongType, DoubleType, StructField,
+                                   StructType)
+
+    spark = emb.sparkSession
     base = emb.select(F.col(id_col).cast("bigint").alias("vid"),
-                      F.col(vec_col).alias("v"))
+                      F.col(vec_col).alias("v"),
+                      F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+                      .cast("int").alias("blk"))
+
+    tasks = spark.createDataFrame(
+        [(bi, bj) for bi in range(n_blocks)
+         for bj in range(bi, n_blocks)], "bi int, bj int")
+    # side 0 = rows block, side 1 = cols block of the task's GEMM
+    part_a = (base.join(F.broadcast(tasks), F.col("blk") == F.col("bi"))
+              .select("bi", "bj", "vid", "v", F.lit(0).alias("side")))
+    part_b = (base.join(F.broadcast(tasks),
+                        (F.col("blk") == F.col("bj"))
+                        & (F.col("bi") != F.col("bj")))
+              .select("bi", "bj", "vid", "v", F.lit(1).alias("side")))
+    replicated = part_a.unionByName(part_b)
+
+    margin = 1e-6  # covers GEMM-vs-fold float divergence; candidates
+    # are re-verified exactly below, so the margin only adds candidates
+
+    cand_schema = StructType([
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("cos_approx", DoubleType()),
+    ])
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        rows = pdf[pdf["side"] == 0]
+        va = np.stack(rows["v"].to_numpy()).astype(np.float64)
+        ia = rows["vid"].to_numpy()
+        va /= np.maximum(np.linalg.norm(va, axis=1, keepdims=True), 1e-300)
+        if bi == bj:
+            cos = va @ va.T
+            ii, jj = np.nonzero(np.triu(cos >= threshold - margin, k=1))
+            ib = ia
+        else:
+            cols = pdf[pdf["side"] == 1]
+            vb = np.stack(cols["v"].to_numpy()).astype(np.float64)
+            ib = cols["vid"].to_numpy()
+            vb /= np.maximum(np.linalg.norm(vb, axis=1, keepdims=True),
+                             1e-300)
+            cos = va @ vb.T
+            ii, jj = np.nonzero(cos >= threshold - margin)
+        lo = np.minimum(ia[ii], ib[jj])
+        hi = np.maximum(ia[ii], ib[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "cos_approx": cos[ii, jj]})
+
+    cands = replicated.groupBy("bi", "bj").applyInPandas(gemm, cand_schema)
+
+    # exact re-verify with the SAME Catalyst expression an all-pairs
+    # formulation would use — emitted values are engine-exact
     a = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
     b = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
     cos = cosine(F.col("va"), F.col("vb"))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
+    return (cands.select("id_a", "id_b")
+            .join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b", cos.alias("cos"))
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 4).alias("cos_r")))

@@ -105,3 +105,15 @@ def test_equality_scoring_is_batched_single_arrow_boundary(spark):
     assert p.count("ArrowEvalPython") == 1, p
     assert "BatchEvalPython" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_cosine_neardup_has_no_cross_join(spark):
+    """Exact embedding near-dup must not materialize the n^2 theta join:
+    candidates come from the blocked-GEMM applyInPandas tasks, and the
+    only joins are equi-joins (task replication + exact re-verify)."""
+    from edlib_spark.driver_contract import embedding_cosine_neardup
+    df = embedding_cosine_neardup(spark, "/root/testdata/sf0.001")
+    p = plan_of(df, "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "FlatMapGroupsInPandas" in p, p
