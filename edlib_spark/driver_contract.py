@@ -901,16 +901,18 @@ def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("id_b").cast("string").alias("id_b")))
     nodes = docs.select(F.col("doc_id").cast("string").alias("conv_id"))
     assigned = cluster_assignments(nodes, edges)
-    # cluster ids were min'ed as STRINGS; renormalize numerically
+    # cluster ids were min'ed as STRINGS; renormalize numerically via a
+    # window-min — one shuffle on the cluster key, O(1) state per row.
+    # (A collect_list of members would materialize each cluster as one
+    # array row: a boilerplate near-dup cluster in a web corpus can be
+    # millions of docs, i.e. a multi-GB single row.)
     return (assigned
-            .groupBy(F.col("cluster_id"))
-            .agg(F.collect_list("conv_id").alias("members"))
-            .select(F.explode("members").alias("member"),
-                    F.array_min(F.transform(
-                        "members", lambda m: m.cast("bigint")))
-                    .cast("bigint").alias("cluster_id"))
-            .select(F.col("member").cast("bigint").alias("doc_id"),
-                    "cluster_id"))
+            .select(F.col("conv_id").cast("bigint").alias("doc_id"),
+                    F.col("cluster_id").alias("cid_str"))
+            .withColumn("cluster_id",
+                        F.min("doc_id").over(Window.partitionBy("cid_str"))
+                        .cast("bigint"))
+            .select("doc_id", "cluster_id"))
 
 
 _SQL_NEARDUP_CLUSTERS = f"""
