@@ -68,13 +68,27 @@ def connected_components(edges: DataFrame, max_iterations: int = 25)\
     if edges.isEmpty():
         return spark.createDataFrame([], "conv_id string, cluster_id string")
 
-    current = edges.select("id_a", "id_b").localCheckpoint(eager=True)
-    prev_fp = None
+    default_par = spark.sparkContext.defaultParallelism
+    current = edges.select("id_a", "id_b").localCheckpoint(eager=False)
+    # materialize + fingerprint in one job; the input fingerprint also
+    # lets the first star pass right-size its partitioning below
+    prev_fp = _edge_fingerprint(current)
     for _ in range(max_iterations):
-        # one materialization per (large-star . small-star) pass: the
-        # two star ops compose lazily, halving per-iteration job count
-        current = _small_star(_large_star(current)) \
-            .localCheckpoint(eager=True)
+        # ONE driver-synchronous job per (large-star . small-star) pass:
+        # the two star ops compose lazily into a LAZY localCheckpoint,
+        # and the fingerprint aggregate is the action that materializes
+        # it — checkpoint blocks persist as that job computes them, so
+        # fixpoint detection costs no extra pass over the edges.
+        #
+        # Partitioning is right-sized from the PREVIOUS iteration's edge
+        # count (~100k edges/partition): the edge set is orders of
+        # magnitude smaller than the corpus and shrinks toward the
+        # fixpoint, and a checkpointed RDD's partitioning is pinned for
+        # every downstream map stage — without this, late tiny
+        # iterations pay full-width task scheduling per pass.
+        p = int(min(default_par, max(4, prev_fp[0] // 100_000)))
+        current = _small_star(_large_star(current)).coalesce(p) \
+            .localCheckpoint(eager=False)
         fp = _edge_fingerprint(current)
         if fp == prev_fp:
             break

@@ -41,6 +41,15 @@ def get_spark(app_name: str = "edlib-spark", master: str | None = None,
         # nothing (the native scan is per-pair; numpy amortizes by 2k).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("SPARK_ARROW_BATCH", "2048"))
+        # AQE sizes stages by SHUFFLE bytes, but our pair-scoring stages
+        # join skinny (id_a, id_b) shuffle rows to multi-KB texts and
+        # feed an Arrow UDF — output bytes ~100x input bytes.  With the
+        # default 1m floor AQE coalesced the sf0.1 scorer to 4 tasks
+        # (11s); a 128k floor keeps the full parallelism (3.5s).  At
+        # cluster scale the same reasoning holds per-executor: stages
+        # feeding the kernel must be sized by their amplified output.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_MIN_PARTITION_SIZE", "128k"))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
