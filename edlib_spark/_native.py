@@ -139,8 +139,22 @@ static int32_t pair_distance(const uint32_t *q, int64_t qlen,
 
     word *pv = s->pv, *mv = s->mv;
     int64_t *score = s->score;
-    int64_t bl = (k >> 6); if (bl > nb - 1) bl = nb - 1;
-    int64_t bf = 0;
+    /* Initial Ukkonen band (block indices [bf, bl]).  NW uses the
+       reference's tighter formula based on the diagonal offset
+       (edlib.cpp:755); semi-global covers ceil((k+1)/64) blocks
+       (edlib.cpp:562). */
+    int64_t bl, bf = 0;
+    if (mode == 0) {
+        int64_t diag = (k + qlen - tlen) / 2;   /* >= 0: k >= |q|-|t| */
+        int64_t band = diag < k ? diag : k;
+        bl = (band + 1 + WBITS - 1) / WBITS;
+        if (bl > nb) bl = nb;
+        bl -= 1;
+    } else {
+        bl = (k + 1 + WBITS - 1) / WBITS;
+        if (bl > nb) bl = nb;
+        bl -= 1;
+    }
     for (int64_t b = 0; b <= bl; b++) {
         pv[b] = ~0ULL; mv[b] = 0ULL; score[b] = (b + 1) * WBITS;
     }
@@ -157,46 +171,86 @@ static int32_t pair_distance(const uint32_t *q, int64_t qlen,
         }
 
         if (mode == 0) {
-            /* in-flight k tightening: the final cell is at most this
-               bottom-of-band cell plus the remaining rows/columns */
+            /* in-flight k tightening (edlib.cpp:791-795): the final
+               cell is at most this bottom-of-band cell plus remaining
+               rows/columns (+W padding when in the last block) */
             int64_t rem_t = tlen - j - 1;
             int64_t rem_q = qlen - ((bl + 1) * WBITS - 1) - 1;
             int64_t cap = score[bl] + (rem_t > rem_q ? rem_t : rem_q)
                           + (bl == nb - 1 ? w : 0);
             if (cap < k) k = cap;
-        }
 
-        /* extend band down while the bottom cell can still seed <= k */
-        if (bl < nb - 1 && score[bl] <= k) {
-            bl++;
-            pv[bl] = ~0ULL; mv[bl] = 0ULL;
-            score[bl] = score[bl - 1] + WBITS;
-        }
-        /* shrink from the bottom */
-        while (bl >= bf && score[bl] >= k + WBITS) bl--;
-        /* shrink from the top (HW restarts at the boundary: keep bf=0) */
-        if (mode != 2) {
-            while (bf <= bl && score[bf] >= k + WBITS) bf++;
-        } else if (bl < 0) {
-            bl = 0;   /* HW: first block is always a candidate */
-        }
-        if (bl < bf) {   /* band died: remaining cells provably > k */
-            if (mode == 0) return -1;
-            return (best <= orig_k) ? (int32_t)best : -1;
-        }
-
-        if (bl < nb - 1) continue;
-        int64_t lrow = score[nb - 1]
-            - __builtin_popcountll(pv[nb - 1] & topw)
-            + __builtin_popcountll(mv[nb - 1] & topw);
-        if (mode == 0) {
-            if (j == tlen - 1) return (lrow <= k) ? (int32_t)lrow : -1;
-        } else {
-            if (lrow < best) {
-                best = lrow;
-                if (best < k) k = best;  /* look only for improvements */
+            /* extend down when the next block's bottom row is still
+               diagonally feasible for <= k (edlib.cpp:797-808); the
+               entering block starts from the previous column's
+               boundary state and is advanced within this column */
+            if (bl + 1 < nb
+                && !((bl + 1) * WBITS - 1
+                     > k - score[bl] + 2 * WBITS - 2 - tlen + j + qlen)) {
+                bl++;
+                pv[bl] = ~0ULL; mv[bl] = 0ULL;
+                int nh = step_block(&pv[bl], &mv[bl], pq[bl], h);
+                score[bl] = score[bl - 1] - h + WBITS + nh;
+                h = nh;
             }
-            if (best == 0) break;
+            /* shrink from the bottom: value-dead or diagonally
+               infeasible (edlib.cpp:810-818, incl. the +1 slack) */
+            while (bl >= bf
+                   && (score[bl] >= k + WBITS
+                       || ((bl + 1) * WBITS - 1
+                           > k - score[bl] + 2 * WBITS - 2 - tlen + j
+                             + qlen + 1))) {
+                bl--;
+            }
+            /* advance the top (edlib.cpp:822-827) */
+            while (bf <= bl
+                   && (score[bf] >= k + WBITS
+                       || ((bf + 1) * WBITS - 1
+                           < score[bf] - k - tlen + qlen + j))) {
+                bf++;
+            }
+            if (bl < bf) return -1;       /* band death: provably > k */
+
+            if (bl == nb - 1 && j == tlen - 1) {
+                int64_t lrow = score[nb - 1]
+                    - __builtin_popcountll(pv[nb - 1] & topw)
+                    + __builtin_popcountll(mv[nb - 1] & topw);
+                return (lrow <= k) ? (int32_t)lrow : -1;
+            }
+        } else {
+            /* semi-global band step (edlib.cpp:600-641): extend when
+               the PREVIOUS column's bottom value was <= k and the next
+               block's first row can match or improve; otherwise shrink
+               value-dead bottom blocks.  HW keeps block 0 alive (free
+               starts make it a candidate every column). */
+            if (bl < nb - 1 && (score[bl] - h <= k)
+                && ((pq[bl + 1] & 1ULL) || h < 0)) {
+                bl++;
+                pv[bl] = ~0ULL; mv[bl] = 0ULL;
+                int nh = step_block(&pv[bl], &mv[bl], pq[bl], h);
+                score[bl] = score[bl - 1] - h + WBITS + nh;
+                h = nh;
+            } else {
+                while (bl >= bf && score[bl] >= k + WBITS) bl--;
+            }
+            if (mode == 2) {
+                if (bl < 0) bl = 0;
+            } else {
+                while (bf <= bl && score[bf] >= k + WBITS) bf++;
+            }
+            if (bl < bf)   /* SHW band death: no better score ahead */
+                return (best <= orig_k) ? (int32_t)best : -1;
+
+            if (bl == nb - 1) {
+                int64_t lrow = score[nb - 1]
+                    - __builtin_popcountll(pv[nb - 1] & topw)
+                    + __builtin_popcountll(mv[nb - 1] & topw);
+                if (lrow < best) {
+                    best = lrow;
+                    if (best < k) k = best;  /* improvements only */
+                }
+                if (best == 0) break;
+            }
         }
     }
     if (mode == 0) return -1;

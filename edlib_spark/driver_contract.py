@@ -475,11 +475,27 @@ _SQL_ANN_TOPK = """
 
 def top_similar_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most-similar adjacent doc pairs — the reference CLI's
-    top-N best-scores feature (apps/aligner/aligner.cpp:153,181-195) as
-    ORDER BY dist LIMIT N (TakeOrderedAndProject; deterministic
-    tie-break on ids)."""
-    return (nw_distance_documents(spark, sf_dir)
-            .orderBy("edit_distance", "id_a", "id_b").limit(20))
+    top-N best-scores feature with adaptive k
+    (apps/aligner/aligner.cpp:153,181-195): a sampled unbounded pass
+    upper-bounds the 20th-best distance, then the full scan runs
+    k-bounded so the kernel's band death discards non-contenders (see
+    operators.scoring.top_n_best).  Exact — same rows as an unbounded
+    scan + TakeOrderedAndProject."""
+    from .operators.scoring import top_n_best
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.col("text").alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"),
+                    F.col("text").alias("text_b"))
+    pairs = (a.join(b, "id_a")
+             .select(F.col("id_a").cast("bigint").alias("id_a"),
+                     F.col("id_b").cast("bigint").alias("id_b"),
+                     "text_a", "text_b"))
+    return (top_n_best(pairs, 20)
+            .select("id_a", "id_b",
+                    F.col("edit_distance").cast("bigint")
+                    .alias("edit_distance")))
 
 
 _SQL_TOP_SIMILAR = f"""

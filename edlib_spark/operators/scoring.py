@@ -48,6 +48,50 @@ def score_pairs(pairs: DataFrame, canon: DataFrame, tau: float = 0.2,
                      "norm_distance")
 
 
+def top_n_best(pairs: DataFrame, n: int, mode: str = "NW",
+               sample_factor: int = 8) -> DataFrame:
+    """Top-``n`` smallest edit distances over (id_a, id_b, text_a,
+    text_b) pairs — the reference CLI's adaptive-k heap
+    (apps/aligner/aligner.cpp:181-195) re-expressed for a distributed
+    scan as two passes:
+
+      1. an UNBOUNDED scoring pass over a deterministic hash sample of
+         ~``sample_factor * n`` pairs; the sample's n-th best distance
+         is a guaranteed upper bound on the global n-th best (any
+         subset's n-th order statistic dominates the global one);
+      2. a k-BOUNDED scoring pass over all pairs with k = that bound —
+         the kernel's band-death early exit discards non-contenders
+         cheaply, playing the role of the reference's tightening k.
+
+    Result is EXACT: identical rows to a full unbounded scan + top-n
+    (deterministic (distance, id_a, id_b) tie-break).  Falls back to
+    the single unbounded pass when the input is too small to sample.
+    """
+    dist = lambda k: edit_distance(  # noqa: E731
+        F.col("text_a"), F.col("text_b"), mode=mode, k=k)
+    top = lambda df: (df.select("id_a", "id_b", "edit_distance")  # noqa: E731
+                      .orderBy("edit_distance", "id_a", "id_b").limit(n))
+
+    total = pairs.count()
+    if total <= max(n, sample_factor * n):
+        return top(pairs.withColumn("edit_distance", dist(-1)))
+
+    frac = (sample_factor * n) / total
+    sample = pairs.where(
+        F.pmod(F.xxhash64("id_a", "id_b"), F.lit(1 << 20))
+        < int(frac * (1 << 20)))
+    kth_rows = (sample.withColumn("edit_distance", dist(-1))
+                .select("edit_distance")
+                .orderBy("edit_distance").limit(n).collect())
+    if len(kth_rows) < n:  # unlucky sample: fall back to one full pass
+        return top(pairs.withColumn("edit_distance", dist(-1)))
+    k_bound = int(kth_rows[-1]["edit_distance"])
+
+    bounded = (pairs.withColumn("edit_distance", dist(k_bound))
+               .where(F.col("edit_distance") >= 0))
+    return top(bounded)
+
+
 def pending_pairs(pairs: DataFrame, done: DataFrame) -> DataFrame:
     """Pair-level resume delta: candidate pairs not yet scored.
 

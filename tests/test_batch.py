@@ -158,3 +158,32 @@ def test_batch_equalities_match_kernel():
                                           use_native=use_native,
                                           equalities=eqs)
                 assert got.tolist() == want, (mode, use_native)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_batch_tight_k_long_near_identical(mode):
+    """Regression: k << 64 on multi-block near-identical pairs.  The
+    native scan's original band extension ('extend when bottom <= k')
+    could never keep an entered block alive when k < 64, returning -1
+    for true distances <= k — the exact regime of the adaptive-k top-N
+    second pass.  Now mirrors the reference's diagonal-feasibility
+    band conditions (edlib.cpp:600-641, 797-827)."""
+    rng = np.random.default_rng(13)
+    letters = "abcdefgh"
+    for L in (65, 100, 400, 1100):
+        base = "".join(letters[i] for i in rng.integers(0, 8, L))
+        tl = list(base)
+        for e in range(3):
+            tl[(e * 131 + 17) % (L - 2)] = "z"
+        variants = ["".join(tl),
+                    base[:L // 3] + "zzz" + base[L // 3:],
+                    base[:L // 3] + base[L // 3 + 3:],
+                    base]
+        for t in variants:
+            for k in (0, 1, 2, 3, 5, 16, 63, 64):
+                want = align(base, t, mode=mode, k=k)["editDistance"]
+                for use_native in (True, False):
+                    got = batch_edit_distance([base], [t], mode, k,
+                                              use_native=use_native)
+                    assert got[0] == want, (L, len(t), k, use_native,
+                                            got[0], want)

@@ -46,12 +46,12 @@ def test_k_bound_contract_property(q, t, mode, delta):
 def test_empty_inputs_k_quirk():
     """Reference parity: empty-input distances bypass the k bound in
     edlibAlign (edlib.cpp:165-184 runs before the k loop; verified
-    against the compiled reference).  The batch scorer intentionally
-    keeps the stricter '-1 beyond k' contract used by the linkage
-    threshold."""
+    against the compiled reference).  Since round 2 the batch scorer
+    matches this too (it previously applied k; the linkage threshold is
+    unaffected because norm_distance still rejects those pairs)."""
     assert kernel.align("", "a", mode="NW", k=0)["editDistance"] == 1
     assert kernel.align("ab", "", mode="NW", k=0)["editDistance"] == 2
-    assert list(batch_edit_distance([""], ["a"], "NW", 0)) == [-1]
+    assert list(batch_edit_distance([""], ["a"], "NW", 0)) == [1]
     assert list(batch_edit_distance([""], ["a"], "NW", 1)) == [1]
 
 

@@ -154,3 +154,45 @@ def test_candidate_pairs_salted_hot_block(spark):
     got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
     assert len(got) == len(set(got)) == n * (n - 1) // 2
     assert all(a < b for a, b in got)
+
+
+def test_top_n_best_matches_unbounded_scan(spark):
+    """Adaptive-k two-pass top-N (reference aligner.cpp:181-195) must be
+    EXACT: same rows as an unbounded scan + orderBy + limit, on both the
+    sampled two-pass path and the small-input fallback."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from edlib_spark.operators.scoring import top_n_best
+
+    rng = np.random.default_rng(5)
+    letters = "abcdefgh"
+    rows = []
+    base = "".join(letters[i] for i in rng.integers(0, 8, 400))
+    for i in range(400):
+        if i % 7 == 0:  # near-dups: a few edits
+            tb = base[:i % 97] + "zz" + base[i % 97 + 1:]
+        else:
+            tb = "".join(letters[j] for j in rng.integers(0, 8, 380))
+        rows.append((i, i + 1000, base, tb))
+    pairs = spark.createDataFrame(
+        rows, "id_a long, id_b long, text_a string, text_b string")
+
+    from edlib_spark.functions.alignment import edit_distance
+    want = (pairs.withColumn("edit_distance",
+                             edit_distance(F.col("text_a"),
+                                           F.col("text_b"), "NW", -1))
+            .select("id_a", "id_b", "edit_distance")
+            .orderBy("edit_distance", "id_a", "id_b").limit(15).collect())
+    got = top_n_best(pairs, 15).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # small-input fallback (total <= sample_factor * n)
+    small = pairs.limit(30)
+    want_s = (small.withColumn("edit_distance",
+                               edit_distance(F.col("text_a"),
+                                             F.col("text_b"), "NW", -1))
+              .select("id_a", "id_b", "edit_distance")
+              .orderBy("edit_distance", "id_a", "id_b").limit(15)
+              .collect())
+    got_s = top_n_best(small, 15).collect()
+    assert [tuple(r) for r in got_s] == [tuple(r) for r in want_s]
