@@ -872,9 +872,16 @@ def minhash_blocks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact char-5-gram Jaccard >= 0.8
-    verification; oracle = exhaustive all-pairs Jaccard in SQL (LSH miss
-    probability ~2e-4 per true pair at j=0.9; verified exact on this
-    data)."""
+    verification; oracle = exhaustive all-pairs Jaccard in SQL.
+
+    Known epistemic gap (accepted): LSH candidate recall is
+    probabilistic — miss probability (1 - j^4)^8 ~ 2e-4 per true pair
+    at j=0.9 — while the oracle is exhaustive, so on REGENERATED data a
+    single unlucky pair could fail the gate even though the engine
+    behaves as designed.  The gate's sf datasets are fixed
+    driver-generated parquet on which recall is verified complete; at
+    deployment scale the miss rate is the documented LSH design knob
+    (bands x rows), not a bug."""
     from .operators.dedup import minhash_neardup_pairs
     docs = _read(spark, sf_dir, "documents")
     return minhash_neardup_pairs(docs, num_hashes=32, bands=8, ngram=5,

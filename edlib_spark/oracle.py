@@ -55,12 +55,17 @@ def simple_edit_distance(query, target, mode="NW"):
                     positions = []
                 best = score
                 positions.append(c)
-    if mode in ("SHW", "HW") and qlen == best:
+    if mode in ("SHW", "HW") and qlen == best and qlen % 64 != 0:
         # the empty-prefix/-window solution (cost qlen, end -1): the
         # reference reports it when it ties the best column score, with
         # -1 ordered first (empirically probed against the compiled
         # reference: align('a','b',SHW) -> dist=1 ends=[-1,0]; it can
-        # tie but never strictly beat, since lev(q, t[:1]) <= qlen)
+        # tie but never strictly beat, since lev(q, t[:1]) <= qlen).
+        # It only materializes when the last block has padding cells
+        # (W = ceil(qlen/64)*64 - qlen >= 1): the -1 end comes from the
+        # reference's c - W readout arithmetic, so at qlen % 64 == 0
+        # the reference reports no -1 (probed: align('a'*64, 'b', SHW)
+        # -> ends [0], not [-1, 0]).
         positions = [-1] + positions
     return best, positions
 

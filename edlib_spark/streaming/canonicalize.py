@@ -36,6 +36,11 @@ CANONICAL_SCHEMA = StructType([
 _STATE_SCHEMA = StructType([
     StructField("idxs", ArrayType(IntegerType())),
     StructField("texts", ArrayType(StringType())),
+    # 1 after the conversation has been emitted: the state row becomes a
+    # TOMBSTONE that swallows post-marker stragglers, so a conv_id is
+    # emitted at most once (late turns would otherwise recreate fresh
+    # state and eventually emit a duplicate partial row)
+    StructField("done", IntegerType()),
 ])
 
 
@@ -51,33 +56,47 @@ def stream_canonicalize(turns: DataFrame, end_role: str = "end",
     for availableNow/backfill runs: with ProcessingTimeTimeout set,
     Spark's availableNow trigger keeps scheduling no-data batches and
     the query never self-terminates (observed on Spark 4.1); enable it
-    only for continuously-running deployments."""
+    only for continuously-running deployments.
+
+    Emission is AT-MOST-ONCE per conv_id: after the end marker fires,
+    the state row stays behind as a tombstone that swallows late turns
+    (they would otherwise recreate fresh state and emit a duplicate
+    partial row).  With ``timeout_ms`` set, tombstones expire with the
+    same timeout; with NoTimeout they are retained for the lifetime of
+    the (availableNow/backfill) run."""
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
         if state.hasTimedOut:
-            idxs, texts = state.get
+            idxs, texts, done = state.get
             state.remove()
-            yield _emit(conv_id, idxs, texts, sep, "timeout")
+            if not done:  # tombstone expiry emits nothing
+                yield _emit(conv_id, idxs, texts, sep, "timeout")
             return
-        idxs, texts = state.get if state.exists else ([], [])
-        idxs, texts = list(idxs), list(texts)
-        done = False
-        for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                if row["role"] == end_role:
-                    done = True
-                else:
-                    idxs.append(int(row["turn_idx"]))
-                    texts.append(row["text"] if row["text"] is not None
-                                 else "")
+        idxs, texts, done = state.get if state.exists else ([], [], 0)
         if done:
-            if state.exists:
-                state.remove()
+            # already emitted: swallow stragglers, keep the tombstone
+            for _ in pdfs:
+                pass
+            state.update(([], [], 1))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+            return
+        idxs, texts = list(idxs), list(texts)
+        saw_end = False
+        for pdf in pdfs:
+            saw_end |= bool((pdf["role"] == end_role).any())
+            keep = pdf[pdf["role"] != end_role]
+            idxs.extend(keep["turn_idx"].astype("int64").tolist())
+            texts.extend(keep["text"].fillna("").tolist())
+        if saw_end:
+            state.update(([], [], 1))  # tombstone against late turns
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
             yield _emit(conv_id, idxs, texts, sep, "end")
         else:
-            state.update((idxs, texts))
+            state.update((idxs, texts, 0))
             if timeout_ms is not None:
                 state.setTimeoutDuration(timeout_ms)
 

@@ -49,12 +49,20 @@ def score_pair_stream(pairs: DataFrame, tau: float = 0.2,
 def dedup_pair_stream(pairs: DataFrame, ts_col: str = "ts",
                       delay: str = "10 minutes") -> DataFrame:
     """Late/duplicate handling: watermark on the event-time column +
-    stateful dropDuplicates on the pair key.  Re-delivered candidate
-    pairs (at-least-once upstream) are scored once; state for a pair is
-    discarded once the watermark passes ``delay`` behind the max seen
-    event time, which bounds the dedup state size."""
+    ``dropDuplicatesWithinWatermark`` on the pair key.  Re-delivered
+    candidate pairs (at-least-once upstream) are scored once; a pair's
+    dedup state is evicted once the watermark passes ``delay`` behind
+    the max seen event time, which bounds state size in a continuously
+    running deployment.  (Plain ``dropDuplicates`` on a key subset that
+    excludes the event-time column would keep state FOREVER — Spark
+    only ties dedup-state eviction to the watermark when the watermark
+    column is part of the key, which is exactly the contract
+    dropDuplicatesWithinWatermark provides without changing the key.)
+    A duplicate arriving later than ``delay`` after the original can be
+    re-emitted — at-least-once, matching the upstream delivery model;
+    downstream writes are idempotent on (id_a, id_b)."""
     return (pairs.withWatermark(ts_col, delay)
-            .dropDuplicates(["id_a", "id_b"]))
+            .dropDuplicatesWithinWatermark(["id_a", "id_b"]))
 
 
 def windowed_match_counts(matches: DataFrame, ts_col: str = "ts",

@@ -224,3 +224,18 @@ def _cigar_to_moves(cigar):
     for num, op in re.findall(r"(\d+)(\D)", cigar):
         moves.extend([table[op]] * int(num))
     return moves
+
+
+def test_shw_empty_prefix_tie_at_block_boundary():
+    """qlen % 64 == 0 corner (ADVICE r1): the reference reports the -1
+    empty-prefix end only when the last block has padding cells (its -1
+    comes from the c - W readout); at W == 0 no -1 appears.  Kernel and
+    DP oracle must agree on both sides of the boundary."""
+    from edlib_spark.oracle import simple_edit_distance
+    for n, want in ((63, [-1, 0]), (64, [0]), (65, [-1, 0]), (128, [0])):
+        q = "a" * n
+        got = [e for _, e in
+               align(q, "b", mode="SHW", task="locations")["locations"]]
+        assert got == want, (n, got)
+        dist, ends = simple_edit_distance(q, "b", "SHW")
+        assert (dist, ends) == (n, want), (n, dist, ends)

@@ -202,3 +202,42 @@ def test_stream_canonicalize_timeout_flush(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].conv_id == "C" and rows[0].complete == "timeout"
     assert rows[0].full_text == "orphan-turn"
+
+
+def test_stream_canonicalize_tombstone_swallows_late_turns(spark, tmp_path):
+    """At-most-once emission per conv_id: after the end marker fires,
+    the retained tombstone state swallows post-marker stragglers instead
+    of recreating state (which would eventually emit a duplicate
+    partial row for the same conv_id)."""
+    from edlib_spark.streaming.canonicalize import stream_canonicalize
+
+    src = tmp_path / "turns_late"
+    src.mkdir()
+    schema_str = "conv_id string, turn_idx int, role string, text string"
+    # batch 1: conv A complete (marker included)
+    spark.createDataFrame(
+        [("A", 0, "user", "hello"), ("A", 1, "assistant", "world"),
+         ("A", -1, "end", None)],
+        schema_str).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    # batch 2: a LATE turn for A (after its marker) + a fresh conv B
+    spark.createDataFrame(
+        [("A", 2, "user", "straggler"), ("B", 0, "user", "b-turn"),
+         ("B", -1, "end", None)],
+        schema_str).coalesce(1).write.parquet(str(src / "f2.parquet"))
+
+    schema = spark.read.parquet(str(src / "f1.parquet")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    out = stream_canonicalize(stream, end_role="end")
+    q = (out.writeStream.format("memory").queryName("canon_tomb")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("select * from canon_tomb").collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    # exactly one row per conv_id; the straggler is swallowed
+    assert {c: len(v) for c, v in by_conv.items()} == {"A": 1, "B": 1}
+    assert by_conv["A"][0].n_turns == 2
+    assert "straggler" not in by_conv["A"][0].full_text
