@@ -786,6 +786,61 @@ _SQL_EQUALITY_ALIGN = """
 """
 
 
+def hw_locations_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HW end-location SET with an exact oracle: the DP column minimum
+    D(c) = min over starts of lev(q, t[i..c]) is SQL-expressible on
+    truncated targets, so the oracle recomputes the full set of best
+    end positions — including the reference's empty-window end -1,
+    reported when best == qlen and the last block has padding
+    (qlen % 64 != 0; here qlen = 25).  first_start is omitted: the
+    reversed-SHW start search has no SQL analogue (it stays pinned by
+    reference-binary parity in ``hw_locations_documents``)."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.substring("text", 20, 25).alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"),
+                    F.substring("text", 1, 80).alias("text_b"))
+    res = align_expr(F.col("text_a"), F.col("text_b"), mode="HW",
+                     task="locations")
+    joined = (a.join(b, "id_a").where(F.col("id_b") < 100)
+              .select("id_a", "id_b", res.alias("r")))
+    return joined.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("r.editDistance").cast("bigint").alias("edit_distance"),
+        F.size("r.locations").cast("bigint").alias("n_locations"),
+        F.col("r.locations").getItem(0).getField("end")
+        .cast("bigint").alias("first_end"))
+
+
+_SQL_HW_LOCATIONS_EXACT = """
+    WITH p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.text[20:44] AS ta, b.text[1:80] AS tb
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE b.doc_id < 100),
+    d AS (
+        SELECT id_a, id_b, length(ta) AS qlen,
+               list_transform(range(1, length(tb) + 1),
+                   c -> list_min(list_transform(range(0, c + 1),
+                        i -> levenshtein(ta, tb[i + 1:c])))) AS dcol
+        FROM p),
+    s AS (
+        SELECT id_a, id_b, qlen, dcol, list_min(dcol) AS best FROM d)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(best AS BIGINT) AS edit_distance,
+           CAST(len(list_filter(range(1, len(dcol) + 1),
+                                c -> dcol[c] = best))
+                + CASE WHEN best = qlen THEN 1 ELSE 0 END AS BIGINT)
+               AS n_locations,
+           CAST(CASE WHEN best = qlen THEN -1
+                     ELSE list_position(dcol, best) - 1 END AS BIGINT)
+               AS first_end
+    FROM s
+"""
+
+
 def hw_locations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HW infix search exposing the full end-location SET (the
     reference returns ALL best end positions, edlib.cpp:657-674) and
@@ -1307,6 +1362,7 @@ def build_queries():
         "hw_distance_exact": hw_distance_exact,
         "equality_align_documents": equality_align_documents,
         "hw_locations_documents": hw_locations_documents,
+        "hw_locations_exact": hw_locations_exact,
         "nice_alignment_documents": nice_alignment_documents,
         "align_path_documents": align_path_documents,
         "minhash_blocks_documents": minhash_blocks_documents,
@@ -1352,6 +1408,7 @@ def build_oracle_sql():
         "ann_ivf_topk": _SQL_ANN_IVF,
         "shw_distance_exact": _SQL_SHW_EXACT,
         "hw_distance_exact": _SQL_HW_EXACT,
+        "hw_locations_exact": _SQL_HW_LOCATIONS_EXACT,
         "equality_align_documents": _SQL_EQUALITY_ALIGN,
         "doc_lang_id": _sql_doc_lang_id(),
         "media_decode_meta": _SQL_MEDIA_META,
