@@ -786,6 +786,69 @@ _SQL_EQUALITY_ALIGN = """
 """
 
 
+def _ensure_fasta(sf_dir: str) -> str:
+    """Deterministic multi-sequence FASTA derived from ``documents``
+    (header = doc_id, sequence = text with spaces replaced by '_',
+    wrapped at 60 chars — the substitution keeps line-wrap + trim
+    reassembly byte-exact, since FASTA line handling strips edge
+    whitespace)."""
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/root/repo/data/docs_{tag}.fasta"
+    if not os.path.exists(path):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        rows = sorted(zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()))
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            for doc_id, text in rows:
+                seq = (text or "").replace(" ", "_")
+                fh.write(f">{doc_id}\n")
+                for i in range(0, max(len(seq), 1), 60):
+                    fh.write(seq[i:i + 60] + "\n")
+        os.replace(tmp, path)
+    return path
+
+
+def fasta_align_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference CLI's primary flow — FASTA in, alignment scores out
+    (apps/aligner/aligner.cpp:285-328 readFastaSequences + the align
+    loop) — as a Spark job: the FASTA source connector parses the file
+    (line-wrap reassembly, header indexing), adjacent sequences pair up,
+    and the batched NW kernel scores them.  Oracle: DuckDB rebuilds the
+    identical sequences from ``documents`` (space -> '_') and runs
+    levenshtein, so the check covers the CONNECTOR round trip and the
+    kernel in one query."""
+    from .sources.fasta import read_fasta
+    path = _ensure_fasta(sf_dir)
+    seqs = (read_fasta(spark, path)
+            .select(F.col("header").cast("bigint").alias("id"),
+                    F.substring("sequence", 1, 120).alias("seq")))
+    a = seqs.select(F.col("id").alias("id_a"), F.col("seq").alias("sa"))
+    b = seqs.select((F.col("id") - 1).alias("id_a"),
+                    F.col("id").alias("id_b"), F.col("seq").alias("sb"))
+    return (a.join(b, "id_a")
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    F.length("sa").cast("bigint").alias("len_a"),
+                    edit_distance(F.col("sa"), F.col("sb"), "NW", -1)
+                    .cast("bigint").alias("edit_distance")))
+
+
+_SQL_FASTA_ALIGN = """
+    WITH s AS (
+        SELECT doc_id, replace(text, ' ', '_')[1:120] AS seq
+        FROM documents)
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(length(a.seq) AS BIGINT) AS len_a,
+           CAST(levenshtein(a.seq, b.seq) AS BIGINT) AS edit_distance
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+"""
+
+
 def hw_locations_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HW end-location SET with an exact oracle: the DP column minimum
     D(c) = min over starts of lev(q, t[i..c]) is SQL-expressible on
@@ -1363,6 +1426,7 @@ def build_queries():
         "equality_align_documents": equality_align_documents,
         "hw_locations_documents": hw_locations_documents,
         "hw_locations_exact": hw_locations_exact,
+        "fasta_align_pairs": fasta_align_pairs,
         "nice_alignment_documents": nice_alignment_documents,
         "align_path_documents": align_path_documents,
         "minhash_blocks_documents": minhash_blocks_documents,
@@ -1409,6 +1473,7 @@ def build_oracle_sql():
         "shw_distance_exact": _SQL_SHW_EXACT,
         "hw_distance_exact": _SQL_HW_EXACT,
         "hw_locations_exact": _SQL_HW_LOCATIONS_EXACT,
+        "fasta_align_pairs": _SQL_FASTA_ALIGN,
         "equality_align_documents": _SQL_EQUALITY_ALIGN,
         "doc_lang_id": _sql_doc_lang_id(),
         "media_decode_meta": _SQL_MEDIA_META,
