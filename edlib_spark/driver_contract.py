@@ -211,6 +211,26 @@ def clusters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_assignments(canon, edges)
 
 
+def clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC consolidation: the match edges are split
+    deterministically into a 'yesterday' batch (~80%) and a 'today'
+    delta (~20%); clusters are built from the old batch, then the delta
+    is folded in with operators.clustering.merge_edges_into_clusters —
+    and the result must equal a full-batch recompute, so it reuses the
+    clusters query's recursive-CTE oracle VERBATIM.  This is the
+    periodic-delta consolidation path of a continuously-ingesting
+    deployment (cost scales with the delta, not the corpus)."""
+    from .operators.clustering import merge_edges_into_clusters
+    canon = canonical_conversations(spark, sf_dir) \
+        .localCheckpoint(eager=False)
+    edges = _edges_of(_scored_of(canon, TAU_EDGE), TAU_EDGE) \
+        .localCheckpoint(eager=False)
+    is_new = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(5)) == 0
+    old_assign = cluster_assignments(canon, edges.where(~is_new))
+    return (merge_edges_into_clusters(old_assign, edges.where(is_new))
+            .select("conv_id", "cluster_id"))
+
+
 _SQL_CLUSTERS = f"""
     WITH RECURSIVE e AS ({_SQL_EDGES}),
     sym AS (SELECT id_a AS u, id_b AS v FROM e
@@ -1404,6 +1424,7 @@ def build_queries():
         "scored_pairs_nw": scored_pairs_events,
         "match_edges": match_edges_events,
         "clusters": clusters_events,
+        "clusters_incremental": clusters_incremental,
         "nw_distance_customer": nw_distance_customer,
         "nw_distance_documents": nw_distance_documents,
         "nw_distance_documents_k": nw_distance_documents_k,
@@ -1454,6 +1475,7 @@ def build_oracle_sql():
         "scored_pairs_nw": _SQL_SCORED,
         "match_edges": _SQL_EDGES,
         "clusters": _SQL_CLUSTERS,
+        "clusters_incremental": _SQL_CLUSTERS,
         "nw_distance_customer": _SQL_NW_CUSTOMER,
         "nw_distance_documents": _SQL_NW_DOCUMENTS,
         "nw_distance_documents_k": _SQL_NW_DOCUMENTS_K,

@@ -102,6 +102,57 @@ def connected_components(edges: DataFrame, max_iterations: int = 25)\
     return members.unionByName(roots).dropDuplicates(["conv_id"])
 
 
+def merge_edges_into_clusters(assignments: DataFrame,
+                              new_edges: DataFrame) -> DataFrame:
+    """Incremental CC: fold a DELTA edge set into existing cluster
+    assignments without recomputing components from scratch.
+
+    The daily-delta consolidation a continuously-ingesting deployment
+    needs: new edges are projected onto current cluster representatives
+    (endpoint -> its cluster_id, unknown endpoints -> themselves), the
+    tiny rep-graph runs through the same large-star/small-star fixpoint,
+    and the resulting rep relabeling joins back onto the full
+    assignment.  Cost scales with the DELTA (touched reps + new nodes),
+    not the corpus.  The min-id invariant is preserved: each rep is
+    already the min of its old cluster, so the min over merged reps is
+    the min over all merged members — identical output to a full-batch
+    recompute over old+new edges (unit-tested equivalence).
+
+    ``assignments``: (conv_id, cluster_id) complete current assignment.
+    ``new_edges``: (id_a, id_b) delta.
+    Returns the updated complete (conv_id, cluster_id) assignment.
+    """
+    ends = (new_edges.select(F.col("id_a").alias("conv_id"))
+            .unionByName(new_edges.select(F.col("id_b").alias("conv_id")))
+            .distinct())
+    rep_of = (ends.join(assignments, "conv_id", "left")
+              .select("conv_id",
+                      F.coalesce("cluster_id", "conv_id").alias("rep")))
+    rep_edges = (new_edges
+                 .join(rep_of.select(F.col("conv_id").alias("id_a"),
+                                     F.col("rep").alias("ra")), "id_a")
+                 .join(rep_of.select(F.col("conv_id").alias("id_b"),
+                                     F.col("rep").alias("rb")), "id_b")
+                 .select(F.col("ra").alias("id_a"),
+                         F.col("rb").alias("id_b"))
+                 .where(F.col("id_a") != F.col("id_b")))
+    comps = connected_components(rep_edges)  # rep -> merged root
+
+    relabel = comps.select(F.col("conv_id").alias("cluster_id"),
+                           F.col("cluster_id").alias("new_id"))
+    updated = (assignments.join(relabel, "cluster_id", "left")
+               .select("conv_id",
+                       F.coalesce("new_id", "cluster_id")
+                       .alias("cluster_id")))
+    fresh = (rep_of.join(assignments.select("conv_id"), "conv_id",
+                         "left_anti")
+             .join(comps, "conv_id", "left")
+             .select("conv_id",
+                     F.coalesce("cluster_id", "conv_id")
+                     .alias("cluster_id")))
+    return updated.unionByName(fresh)
+
+
 def cluster_assignments(all_nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Full assignment (conv_id, cluster_id): connected components of the
     match edges plus singletons for unmatched conversations.

@@ -137,3 +137,39 @@ def test_pending_pairs_resume_delta(spark):
     # scoring the delta and unioning with done covers every pair
     assert got | {(r.id_a, r.id_b) for r in done.collect()} == \
         {(r.id_a, r.id_b) for r in pairs.collect()}
+
+
+def test_incremental_cc_equals_batch(spark):
+    """merge_edges_into_clusters(assignments(old), delta) must equal a
+    full-batch recompute over old+delta, across random graphs covering:
+    delta edges that merge existing clusters, fresh-node chains, edges
+    internal to one cluster, and isolated singletons."""
+    import random
+
+    from edlib_spark.operators.clustering import (cluster_assignments,
+                                                  merge_edges_into_clusters)
+
+    rng = random.Random(77)
+    for trial in range(4):
+        n = 60
+        nodes = [f"n{i:03d}" for i in range(n)]
+        edges = set()
+        while len(edges) < 50:
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        edges = sorted(edges)
+        cut = rng.randint(10, 40)
+        old, delta = edges[:cut], edges[cut:]
+
+        nodes_df = spark.createDataFrame([(x,) for x in nodes],
+                                         "conv_id string")
+        old_df = spark.createDataFrame(old, "id_a string, id_b string")
+        delta_df = spark.createDataFrame(delta, "id_a string, id_b string")
+        all_df = spark.createDataFrame(edges, "id_a string, id_b string")
+
+        base = cluster_assignments(nodes_df, old_df)
+        got = {(r.conv_id, r.cluster_id)
+               for r in merge_edges_into_clusters(base, delta_df).collect()}
+        want = {(r.conv_id, r.cluster_id)
+                for r in cluster_assignments(nodes_df, all_df).collect()}
+        assert got == want, (trial, sorted(got ^ want)[:10])
