@@ -1120,6 +1120,88 @@ _SQL_DEDUP_CORPUS = f"""
 """
 
 
+def doc_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-construction chain a training-data
+    pipeline runs: quality gate (length + stopword evidence) -> exact
+    dedup (min doc_id per identical text) -> MinHash near-dup dedup
+    (exact-Jaccard-verified, CC, keep representatives) -> kept corpus
+    with per-doc stats.  Every stage is the already-graded operator;
+    this query grades their COMPOSITION against one SQL oracle."""
+    from .operators.clustering import cluster_assignments
+    from .operators.dedup import minhash_neardup_pairs
+    from .operators.textops import tokens
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOPWORDS)))
+    q = (docs.select("doc_id", "text",
+                     F.length("text").alias("n_chars"),
+                     F.size(toks).alias("n_tokens"),
+                     stop_cnt.alias("stop_cnt"))
+         .where((F.col("n_chars") >= 100) & (F.col("stop_cnt") >= 1)))
+    exact = (q.withColumn("rep",
+                          F.min("doc_id").over(Window.partitionBy("text")))
+             .where(F.col("doc_id") == F.col("rep")).drop("rep"))
+    edges = (minhash_neardup_pairs(exact, num_hashes=32, bands=8,
+                                   ngram=5, tau_pct=80)
+             .select(F.col("id_a").cast("string").alias("id_a"),
+                     F.col("id_b").cast("string").alias("id_b")))
+    nodes = exact.select(F.col("doc_id").cast("string").alias("conv_id"))
+    assigned = cluster_assignments(nodes, edges)
+    kept = (assigned
+            .select(F.col("conv_id").cast("bigint").alias("doc_id"),
+                    F.col("cluster_id").alias("cid_str"))
+            .withColumn("root", F.min("doc_id")
+                        .over(Window.partitionBy("cid_str")))
+            .where(F.col("doc_id") == F.col("root"))
+            .select("doc_id"))
+    return (kept.join(exact, "doc_id")
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("n_chars").cast("bigint").alias("n_chars"),
+                    F.col("n_tokens").cast("bigint").alias("n_tokens")))
+
+
+def _sql_doc_training_corpus() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+    return f"""
+    WITH RECURSIVE q AS (
+        SELECT doc_id, text, length(text) AS n_chars,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '')) AS n_tokens,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t IN ({stop_list}))) AS stop_cnt
+        FROM documents),
+    qf AS (SELECT * FROM q WHERE n_chars >= 100 AND stop_cnt >= 1),
+    ex AS (SELECT min(doc_id) AS doc_id FROM qf GROUP BY text),
+    exd AS (SELECT qf.* FROM qf JOIN ex USING (doc_id)),
+    grams AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   [text[i:i+4] FOR i IN
+                    range(1, greatest(length(text) - 4, 1) + 1)])) AS g
+        FROM exd),
+    e AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        WHERE len(a.g) * 100 >= 80 * len(b.g)
+          AND len(b.g) * 100 >= 80 * len(a.g)
+          AND len(list_intersect(a.g, b.g)) * 100
+              >= 80 * len(list_distinct(list_concat(a.g, b.g)))),
+    sym AS (SELECT id_a AS u, id_b AS v FROM e
+            UNION SELECT id_b, id_a FROM e),
+    reach AS (
+        SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.u AS node, r.lab AS lab
+        FROM sym s JOIN reach r ON s.v = r.node),
+    comp AS (SELECT node, min(lab) AS root FROM reach GROUP BY node)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           CAST(d.n_tokens AS BIGINT) AS n_tokens
+    FROM exd d LEFT JOIN comp ON d.doc_id = comp.node
+    WHERE coalesce(comp.root, d.doc_id) = d.doc_id
+    """
+
+
 def doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3 via band-key join; complete
     for hamming <= bands-1).  Rows-only: Spark xxhash64 has no DuckDB
@@ -1454,6 +1536,7 @@ def build_queries():
         "doc_minhash_neardup": doc_minhash_neardup,
         "doc_neardup_clusters": doc_neardup_clusters,
         "doc_dedup_corpus": doc_dedup_corpus,
+        "doc_training_corpus": doc_training_corpus,
         "doc_simhash_neardup": doc_simhash_neardup,
         "embedding_cosine_neardup": embedding_cosine_neardup,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1490,6 +1573,7 @@ def build_oracle_sql():
         "doc_minhash_neardup": _SQL_MINHASH_NEARDUP,
         "doc_neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "doc_dedup_corpus": _SQL_DEDUP_CORPUS,
+        "doc_training_corpus": _sql_doc_training_corpus(),
         "embedding_cosine_neardup": _SQL_COSINE_NEARDUP,
         "ann_ivf_topk": _SQL_ANN_IVF,
         "shw_distance_exact": _SQL_SHW_EXACT,
