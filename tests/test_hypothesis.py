@@ -83,3 +83,25 @@ def test_path_replays_to_distance(q, t):
     for n, op in re.findall(r"(\d+)([=IDX])", res["cigar"]):
         path.extend([codes[op]] * int(n))
     assert check_alignment(q, t, path, start, "NW") == res["editDistance"]
+
+
+@settings(max_examples=40, **COMMON)
+@given(base=st.text(alphabet=ALPHABET, min_size=70, max_size=200),
+       edits=st.lists(st.tuples(st.integers(0, 10_000),
+                                st.sampled_from("xyz")),
+                      min_size=0, max_size=6),
+       k=st.integers(0, 70), mode=MODES,
+       use_native=st.booleans())
+def test_tight_k_near_identical_property(base, edits, k, mode,
+                                         use_native):
+    """Property form of the tight-k band regression: multi-block
+    near-identical pairs with k near (or below) the true distance must
+    agree with the exact kernel on both batch lanes."""
+    t = list(base)
+    for pos, ch in edits:
+        t[pos % len(t)] = ch
+    t = "".join(t)
+    want = kernel.align(base, t, mode=mode, k=k)["editDistance"]
+    got = batch_edit_distance([base], [t], mode, k,
+                              use_native=use_native)
+    assert int(got[0]) == want

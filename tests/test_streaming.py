@@ -241,3 +241,61 @@ def test_stream_canonicalize_tombstone_swallows_late_turns(spark, tmp_path):
     assert {c: len(v) for c, v in by_conv.items()} == {"A": 1, "B": 1}
     assert by_conv["A"][0].n_turns == 2
     assert "straggler" not in by_conv["A"][0].full_text
+
+
+def test_stream_canonicalize_feeds_scorer_end_to_end(spark, tmp_path):
+    """Composition: the stateful canonicalizer's output stream is
+    self-joined into candidate pairs... — streams can't self-join in
+    append mode, so the deployment shape is canonicalize-stream ->
+    sink -> scored against the accumulated batch corpus.  This test
+    runs that exact shape: stream canonical rows to parquet, then run
+    the stateless scorer over pairs built from the sunk table, and
+    check distances equal the batch pipeline's."""
+    from edlib_spark.operators.canonicalize import canonicalize
+    from edlib_spark.streaming.canonicalize import stream_canonicalize
+    from edlib_spark.streaming.scorer import score_pair_stream
+
+    src = tmp_path / "turns_e2e"
+    src.mkdir()
+    schema_str = "conv_id string, turn_idx int, role string, text string"
+    rows = []
+    for c in range(6):
+        base = f"conversation {c % 3} body text segment"
+        rows += [(f"c{c}", i, "user", f"{base} turn {i}")
+                 for i in range(3)]
+        rows.append((f"c{c}", -1, "end", None))
+    spark.createDataFrame(rows, schema_str).coalesce(1) \
+        .write.parquet(str(src / "f1.parquet"))
+
+    canon_sink = str(tmp_path / "canon_sink")
+    schema = spark.read.parquet(str(src / "f1.parquet")).schema
+    stream = (spark.readStream.schema(schema).parquet(str(src) + "/*"))
+    q = (stream_canonicalize(stream, end_role="end").writeStream
+         .format("parquet").option("path", canon_sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    canon = spark.read.parquet(canon_sink) \
+        .withColumn("text_len", F.length("full_text"))
+    a = canon.select(F.col("conv_id").alias("id_a"),
+                     F.col("full_text").alias("text_a"),
+                     F.col("text_len").alias("len_a"))
+    b = canon.select(F.col("conv_id").alias("id_b"),
+                     F.col("full_text").alias("text_b"),
+                     F.col("text_len").alias("len_b"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    scored = {(r.id_a, r.id_b): r.edit_distance
+              for r in score_pair_stream(pairs, tau=0.9).collect()}
+    assert scored  # prefilter keeps same-length pairs
+
+    # ground truth: batch canonicalize + per-pair kernel
+    from edlib_spark import kernel as kern
+    batch = canonicalize(spark.read.parquet(str(src) + "/*")
+                         .where("role != 'end'"))
+    texts = {r.conv_id: r.full_text for r in batch.collect()}
+    for (ia, ib), d in scored.items():
+        want = kern.align(texts[ia], texts[ib], mode="NW",
+                          k=int(-(-0.9 * max(len(texts[ia]),
+                                             len(texts[ib])) // 1)))
+        assert d == want["editDistance"], (ia, ib)
