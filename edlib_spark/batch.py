@@ -105,7 +105,11 @@ def batch_edit_distance(queries, targets, mode: str = "NW", k=-1,
     """
     if mode not in ("NW", "SHW", "HW"):
         raise ValueError(f"invalid mode {mode!r}")
-    eq_cp = equalities if isinstance(equalities, tuple) \
+    # already-encoded (eqa, eqb) uint32 arrays pass through (recursive
+    # calls); anything else — including a tuple OF pairs — is encoded
+    eq_cp = equalities if (isinstance(equalities, tuple)
+                           and len(equalities) == 2
+                           and isinstance(equalities[0], np.ndarray)) \
         else _encode_equalities(equalities)
     n = len(queries)
     if len(targets) != n:
