@@ -173,9 +173,15 @@ def cosine_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
         StructField("cos_approx", DoubleType()),
     ])
 
+    empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          "cos_approx": pd.Series(dtype="float64")})
+
     def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = key
         rows = pdf[pdf["side"] == 0]
+        if not len(rows):  # block bi hashed no vectors
+            return empty
         va = np.stack(rows["v"].to_numpy()).astype(np.float64)
         ia = rows["vid"].to_numpy()
         va /= np.maximum(np.linalg.norm(va, axis=1, keepdims=True), 1e-300)
@@ -185,6 +191,8 @@ def cosine_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
             ib = ia
         else:
             cols = pdf[pdf["side"] == 1]
+            if not len(cols):  # block bj hashed no vectors
+                return empty
             vb = np.stack(cols["v"].to_numpy()).astype(np.float64)
             ib = cols["vid"].to_numpy()
             vb /= np.maximum(np.linalg.norm(vb, axis=1, keepdims=True),

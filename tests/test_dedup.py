@@ -94,3 +94,18 @@ def test_cosine_neardup_bruteforce(spark):
             if sims[a, b] >= 0.9}
     assert {(0, 1), (2, 3), (4, 5)} <= want
     assert set(got) == want
+
+
+def test_cosine_neardup_handles_empty_blocks(spark):
+    """Blocked-GEMM task groups where one side's block hashed no
+    vectors (n_blocks >> n_vectors) must yield empty frames, not an
+    np.stack crash."""
+    from edlib_spark.operators.dedup import cosine_neardup_pairs
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(5)]
+        + [(100, [1.0] + [0.0] * 7)],
+        "vec_id long, embedding array<double>")
+    got = sorted(tuple(r) for r in
+                 cosine_neardup_pairs(emb, threshold=0.9,
+                                      n_blocks=16).collect())
+    assert got == [(0, 100, 1.0)]
