@@ -537,6 +537,36 @@ def query_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("bigint").alias("edit_distance")))
 
 
+def query_infix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One query searched INSIDE every corpus document — HW infix mode
+    1-vs-N (the reference's read-mapping shape: short query, free start
+    and end in the target, aligner.cpp mode HW).  Broadcast crossJoin +
+    the batched semi-global kernel; targets truncated so the
+    min-over-substrings oracle stays affordable."""
+    docs = _read(spark, sf_dir, "documents")
+    query = docs.where(F.col("doc_id") == 0) \
+        .select(F.substring("text", 30, 25).alias("qtext"))
+    return (docs.crossJoin(F.broadcast(query))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    edit_distance(F.col("qtext"),
+                                  F.substring("text", 1, 80), "HW", -1)
+                    .cast("bigint").alias("edit_distance")))
+
+
+_SQL_QUERY_INFIX = """
+    WITH q AS (SELECT text[30:54] AS qt FROM documents WHERE doc_id = 0),
+    d AS (SELECT doc_id, text[1:80] AS tb FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(list_min(flatten(list_transform(
+                    range(0, length(tb) + 1),
+                    i -> list_transform(
+                        range(i, length(tb) + 1),
+                        j -> levenshtein(qt, tb[i + 1:j]))))) AS BIGINT)
+               AS edit_distance
+    FROM d CROSS JOIN q
+"""
+
+
 _SQL_QUERY_VS_CORPUS = """
     SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
            CAST(levenshtein(q.text, d.text) AS BIGINT) AS edit_distance
@@ -1517,6 +1547,7 @@ def build_queries():
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "top_similar_documents": top_similar_documents,
         "query_vs_corpus": query_vs_corpus,
+        "query_infix_corpus": query_infix_corpus,
         "ann_cosine_topk": ann_cosine_topk,
         "doc_lang_id": doc_lang_id,
         "doc_simhash_buckets": doc_simhash_buckets,
@@ -1569,6 +1600,7 @@ def build_oracle_sql():
         "doc_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "top_similar_documents": _SQL_TOP_SIMILAR,
         "query_vs_corpus": _SQL_QUERY_VS_CORPUS,
+        "query_infix_corpus": _SQL_QUERY_INFIX,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "doc_minhash_neardup": _SQL_MINHASH_NEARDUP,
         "doc_neardup_clusters": _SQL_NEARDUP_CLUSTERS,
