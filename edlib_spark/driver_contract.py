@@ -1520,12 +1520,73 @@ def _sql_transcripts_canonical_small() -> str:
 
 def transcripts_clusters_small(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    """Flagship: full linkage pipeline on the synthetic transcripts
-    (rows-only check: blocking/scoring pipeline is not SQL-expressible)."""
+    """Flagship: the FULL linkage pipeline (canonicalize -> structural
+    blocking -> salted pairs -> batched NW scoring -> threshold ->
+    connected components) on the synthetic transcripts, oracle-checked
+    end-to-end: the SQL twin mirrors every stage (salting drops out —
+    it only re-routes pair generation, never changes the pair set).
+
+    Cross-engine epistemic note: the structural band key uses
+    floor(ln(len)/ln(r)); Java's and DuckDB's ln can differ in the last
+    ulp, so a text_len landing within 1 ulp of a band boundary could
+    flip a candidate key (probability ~1e-15 per conv; the gate's
+    fixture is fixed and verified exact)."""
     from .plans.linkage import LinkageConfig, run_linkage
     path = ensure_transcripts_parquet(spark, "small")
     t = spark.read.parquet(path)
     return run_linkage(t, LinkageConfig())["clusters"]
+
+
+def _sql_transcripts_clusters_small() -> str:
+    from .plans.linkage import LinkageConfig
+    cfg = LinkageConfig()
+    path = transcripts_path("small")
+    ratio = 1.0 / (1.0 - cfg.band_tau)
+    return f"""
+    WITH RECURSIVE c AS (
+        SELECT conv_id,
+               string_agg(coalesce(text, ''), '{SEP}'
+                          ORDER BY turn_idx) AS full_text,
+               count(*) AS n_turns,
+               length(string_agg(coalesce(text, ''), '{SEP}'
+                                 ORDER BY turn_idx)) AS text_len
+        FROM read_parquet('{path}/*.parquet')
+        GROUP BY conv_id),
+    bands AS (
+        SELECT conv_id, n_turns, text_len,
+               CAST(floor(ln(CAST(greatest(text_len, 1) AS DOUBLE))
+                          / ln({ratio!r})) AS BIGINT) AS band
+        FROM c),
+    keys AS (
+        SELECT conv_id, 'st:' || n_turns || ':' || band AS bk FROM bands
+        UNION ALL
+        SELECT conv_id, 'st:' || n_turns || ':' || (band + 1) FROM bands),
+    p AS (
+        SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+        FROM keys a JOIN keys b
+          ON a.bk = b.bk AND a.conv_id < b.conv_id),
+    s AS (
+        SELECT p.id_a, p.id_b, ca.full_text AS ta, cb.full_text AS tb,
+               ca.text_len AS la, cb.text_len AS lb
+        FROM p JOIN c ca ON ca.conv_id = p.id_a
+               JOIN c cb ON cb.conv_id = p.id_b
+        WHERE abs(la - lb) <= ceil({cfg.tau} * greatest(la, lb))),
+    e AS (
+        SELECT id_a, id_b FROM s
+        WHERE CAST(levenshtein(ta, tb) AS DOUBLE)
+              / greatest(greatest(la, lb), 1) <= {cfg.tau}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM e
+            UNION SELECT id_b, id_a FROM e),
+    reach AS (
+        SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s2.u AS node, r.lab AS lab
+        FROM sym s2 JOIN reach r ON s2.v = r.node),
+    comp AS (SELECT node, min(lab) AS root FROM reach GROUP BY node)
+    SELECT c.conv_id,
+           coalesce(comp.root, c.conv_id) AS cluster_id
+    FROM c LEFT JOIN comp ON c.conv_id = comp.node
+    """
 
 
 def build_queries():
@@ -1619,6 +1680,8 @@ def build_oracle_sql():
         "media_resize_plan": _SQL_RESIZE_PLAN,
         "media_features": _SQL_MEDIA_FEATURES,
         "transcripts_canonical_small": _sql_transcripts_canonical_small(),
-        # hw/shw/path/minhash/clusters_small: no SQL equivalent
-        # (rows-only checks)
+        "transcripts_clusters_small": _sql_transcripts_clusters_small(),
+        # remaining rows-only: xxhash64-based blocking/fingerprints
+        # (DuckDB has no xxhash64 and lacks wrapping 64-bit arithmetic
+        # to reimplement it), CIGAR/path strings, LSH-bucketed ANN
     }
