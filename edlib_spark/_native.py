@@ -304,17 +304,23 @@ int batch_distance(const uint32_t *qbuf, const int64_t *qstart,
         /* alphabet can't exceed ql + tl; grow peq when needed */
         int64_t need = ql + tl < BMP ? ql + tl : BMP;
         if (need > peq_sigma) {
-            while (peq_sigma < need) peq_sigma *= 2;
+            /* commit the new capacity only after EVERY realloc
+               succeeds: on failure the old (smaller) buffers stay
+               valid and cap_sigma keeps its old value, so later pairs
+               cannot write past the allocation */
+            int64_t new_sigma = peq_sigma;
+            while (new_sigma < need) new_sigma *= 2;
             word *np_ = (word *)realloc(
-                s.peq, (size_t)(peq_sigma * max_nb) * sizeof(word));
+                s.peq, (size_t)(new_sigma * max_nb) * sizeof(word));
             if (!np_) { out[i] = UNSUPPORTED; continue; }
             s.peq = np_;
             if (n_eq > 0) {
                 word *np2 = (word *)realloc(
-                    s.peq2, (size_t)(peq_sigma * max_nb) * sizeof(word));
+                    s.peq2, (size_t)(new_sigma * max_nb) * sizeof(word));
                 if (!np2) { out[i] = UNSUPPORTED; continue; }
                 s.peq2 = np2;
             }
+            peq_sigma = new_sigma;
         }
         s.cap_sigma = peq_sigma;
         out[i] = pair_distance(qbuf + qstart[i], ql, tbuf + tstart[i],

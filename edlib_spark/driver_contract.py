@@ -316,7 +316,10 @@ def nw_distance_documents_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_NW_DOCUMENTS_K = """
     SELECT CAST(a.doc_id AS BIGINT) AS id_a,
            CAST(b.doc_id AS BIGINT) AS id_b,
-           CAST(CASE WHEN levenshtein(a.text, b.text) <= 100
+           -- empty inputs bypass the k bound (reference
+           -- edlib.cpp:165-184 short-circuits before any k logic)
+           CAST(CASE WHEN length(a.text) = 0 OR length(b.text) = 0
+                          OR levenshtein(a.text, b.text) <= 100
                      THEN levenshtein(a.text, b.text) ELSE -1 END
                 AS BIGINT) AS edit_distance
     FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
@@ -846,7 +849,10 @@ def _ensure_fasta(sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     path = f"/root/repo/data/docs_{tag}.fasta"
-    if not os.path.exists(path):
+    src = os.path.join(sf_dir, "documents.parquet")
+    stale = (os.path.exists(path)
+             and os.path.getmtime(path) < os.path.getmtime(src))
+    if not os.path.exists(path) or stale:
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                           columns=["doc_id", "text"])
         rows = sorted(zip(t.column("doc_id").to_pylist(),
@@ -907,13 +913,19 @@ def hw_locations_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported when best == qlen and the last block has padding
     (qlen % 64 != 0; here qlen = 25).  first_start is omitted: the
     reversed-SHW start search has no SQL analogue (it stays pinned by
-    reference-binary parity in ``hw_locations_documents``)."""
+    reference-binary parity in ``hw_locations_documents``).  Both sides
+    guard out degenerate windows (query/target slices that would be
+    empty): the kernel's empty-input short-circuit reports a single -1
+    location while the column-min formulation counts every column — a
+    location-semantics divergence that only empty inputs exhibit."""
     docs = _read(spark, sf_dir, "documents")
-    a = docs.select(F.col("doc_id").alias("id_a"),
-                    F.substring("text", 20, 25).alias("text_a"))
-    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
-                    F.col("doc_id").alias("id_b"),
-                    F.substring("text", 1, 80).alias("text_b"))
+    a = (docs.where(F.length("text") >= 20)
+         .select(F.col("doc_id").alias("id_a"),
+                 F.substring("text", 20, 25).alias("text_a")))
+    b = (docs.where(F.length("text") >= 1)
+         .select((F.col("doc_id") - 1).alias("id_a"),
+                 F.col("doc_id").alias("id_b"),
+                 F.substring("text", 1, 80).alias("text_b")))
     res = align_expr(F.col("text_a"), F.col("text_b"), mode="HW",
                      task="locations")
     joined = (a.join(b, "id_a").where(F.col("id_b") < 100)
@@ -932,7 +944,8 @@ _SQL_HW_LOCATIONS_EXACT = """
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                a.text[20:44] AS ta, b.text[1:80] AS tb
         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-        WHERE b.doc_id < 100),
+        WHERE b.doc_id < 100
+          AND length(a.text) >= 20 AND length(b.text) >= 1),
     d AS (
         SELECT id_a, id_b, length(ta) AS qlen,
                list_transform(range(1, length(tb) + 1),
@@ -1168,9 +1181,13 @@ def doc_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.size(toks).alias("n_tokens"),
                      stop_cnt.alias("stop_cnt"))
          .where((F.col("n_chars") >= 100) & (F.col("stop_cnt") >= 1)))
+    # pinned: `exact` feeds the minhash blocker (which scans it twice),
+    # the CC node list, and the final stats join — without the pin the
+    # tokenize + window-dedup subtree recomputes ~5x
     exact = (q.withColumn("rep",
                           F.min("doc_id").over(Window.partitionBy("text")))
-             .where(F.col("doc_id") == F.col("rep")).drop("rep"))
+             .where(F.col("doc_id") == F.col("rep")).drop("rep")
+             .localCheckpoint(eager=False))
     edges = (minhash_neardup_pairs(exact, num_hashes=32, bands=8,
                                    ngram=5, tau_pct=80)
              .select(F.col("id_a").cast("string").alias("id_a"),
@@ -1396,7 +1413,7 @@ _SQL_MEDIA_META = """
                 END AS sample_rate,
            CASE WHEN doc_id % 3 = 2
                 THEN CAST(1 + doc_id % 60 AS INT) END AS n_frames,
-           CAST(strlen(text) AS BIGINT) AS n_payload_bytes
+           CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_payload_bytes
     FROM documents
 """
 
@@ -1470,7 +1487,7 @@ _SQL_MEDIA_FEATURES = """
                               THEN 8000 + (doc_id % 4) * 8000 ELSE 0 END
                || '|' || CASE WHEN doc_id % 3 = 2
                               THEN 1 + doc_id % 60 ELSE 0 END
-               || '|' || text AS payload
+               || '|' || coalesce(text, '') AS payload
         FROM documents),
     pos AS (
         SELECT media_id, payload,

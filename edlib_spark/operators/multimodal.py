@@ -97,7 +97,11 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.coalesce(height.cast("string"), F.lit("0")),
         F.coalesce(sample_rate.cast("string"), F.lit("0")),
         F.coalesce(n_frames.cast("string"), F.lit("0")),
-        F.col("text"))
+        # NULL text must become an EMPTY body, not a dropped field:
+        # concat_ws silently drops NULLs, which would leave a 6-part
+        # payload that the decoder rejects (and that no SQL oracle can
+        # reconstruct the same way)
+        F.coalesce(F.col("text"), F.lit("")))
     return docs.select(mid.alias("media_id"), kind.alias("kind"),
                        F.encode(header, "UTF-8").alias("payload"))
 

@@ -72,8 +72,11 @@ def top_n_best(pairs: DataFrame, n: int, mode: str = "NW",
     top = lambda df: (df.select("id_a", "id_b", "edit_distance")  # noqa: E731
                       .orderBy("edit_distance", "id_a", "id_b").limit(n))
 
+    # pinned: the pairs plan is consumed up to three times (count,
+    # sample pass, bounded pass) — materialize it once
+    pairs = pairs.localCheckpoint(eager=False)
     total = pairs.count()
-    if total <= max(n, sample_factor * n):
+    if total <= sample_factor * n:
         return top(pairs.withColumn("edit_distance", dist(-1)))
 
     frac = (sample_factor * n) / total

@@ -70,9 +70,17 @@ def stream_canonicalize(turns: DataFrame, end_role: str = "end",
         conv_id = key[0]
         if state.hasTimedOut:
             idxs, texts, done = state.get
-            state.remove()
-            if not done:  # tombstone expiry emits nothing
-                yield _emit(conv_id, idxs, texts, sep, "timeout")
+            if done:
+                state.remove()  # tombstone expiry: emit nothing
+                return
+            # timeout flush EMITS, and must leave a tombstone exactly
+            # like the end-marker path — otherwise a late straggler
+            # recreates fresh state and a second (duplicate) partial
+            # row is eventually emitted for the same conv_id
+            state.update(([], [], 1))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+            yield _emit(conv_id, idxs, texts, sep, "timeout")
             return
         idxs, texts, done = state.get if state.exists else ([], [], 0)
         if done:

@@ -173,3 +173,31 @@ def test_incremental_cc_equals_batch(spark):
         want = {(r.conv_id, r.cluster_id)
                 for r in cluster_assignments(nodes_df, all_df).collect()}
         assert got == want, (trial, sorted(got ^ want)[:10])
+
+
+def test_incremental_cc_fresh_nodes(spark):
+    """Delta edges introducing BRAND-NEW nodes (absent from the current
+    assignment): fresh-only chains, fresh-to-existing attachments, and
+    an untouched existing cluster."""
+    from edlib_spark.operators.clustering import (cluster_assignments,
+                                                  merge_edges_into_clusters)
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "conv_id string")
+    old = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    base = cluster_assignments(nodes, old)
+
+    delta = spark.createDataFrame(
+        [("c", "x1"),            # fresh x1 attaches to existing singleton c
+         ("x2", "x3"),          # fresh-only component
+         ("x3", "x4")],
+        "id_a string, id_b string")
+    got = {(r.conv_id, r.cluster_id)
+           for r in merge_edges_into_clusters(base, delta).collect()}
+    all_nodes = spark.createDataFrame(
+        [(x,) for x in "abcd"] + [("x1",), ("x2",), ("x3",), ("x4",)],
+        "conv_id string")
+    all_edges = old.unionByName(delta)
+    want = {(r.conv_id, r.cluster_id)
+            for r in cluster_assignments(all_nodes, all_edges).collect()}
+    assert got == want
