@@ -83,10 +83,18 @@ def _encode_equalities(equalities):
     (both OR directions), matching the reference's symmetric matrix."""
     if not equalities:
         return None
-    a = np.fromiter((ord(p[0]) if isinstance(p[0], str) else int(p[0])
-                     for p in equalities), dtype=np.uint32)
-    b = np.fromiter((ord(p[1]) if isinstance(p[1], str) else int(p[1])
-                     for p in equalities), dtype=np.uint32)
+
+    def _cp(v, pair):
+        if isinstance(v, str):
+            if len(v) != 1:
+                raise ValueError(
+                    "equality pair entries must be single characters or "
+                    f"integer codepoints, got {v!r} in pair {pair!r}")
+            return ord(v)
+        return int(v)
+
+    a = np.fromiter((_cp(p[0], p) for p in equalities), dtype=np.uint32)
+    b = np.fromiter((_cp(p[1], p) for p in equalities), dtype=np.uint32)
     return a, b
 
 

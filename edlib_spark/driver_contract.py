@@ -33,6 +33,17 @@ from .sources.transcripts import ensure_transcripts_parquet, transcripts_path
 # ASCII record separator: 1 byte == 1 char, so DuckDB's byte-based
 # levenshtein() agrees with the kernel's codepoint-based distances.
 SEP = "\x1e"
+# Repo root (parent of the edlib_spark package) — derived, not
+# hardcoded, so generated artifacts land next to the package wherever
+# the repo is checked out.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# Several oracles (equality_align's upper()+levenshtein twin, the
+# media_features per-character ord() histogram) are exact only when
+# documents.text is pure ASCII: DuckDB's levenshtein/ord are byte-based
+# while the kernel and the payload histogram count codepoints/UTF-8
+# bytes.  The driver fixtures ARE ASCII; tests/test_fixture_invariants.py
+# asserts this invariant so a non-ASCII fixture fails loudly instead of
+# hash-diverging silently.
 TAU = 0.2
 # Looser threshold for the edge/cluster queries: event-derived
 # conversations have min normalized distance ~0.33, so TAU=0.2 yields an
@@ -829,6 +840,10 @@ def equality_align_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("bigint").alias("edit_distance")))
 
 
+# ASCII-only oracle: the 26 (a-z, A-Z) equality pairs equal
+# upper()+levenshtein only for ASCII text — Unicode case folding
+# ('ß'->'SS') and DuckDB's byte-based levenshtein both diverge on
+# non-ASCII input.  Guarded by the fixture-ASCII invariant test.
 _SQL_EQUALITY_ALIGN = """
     SELECT CAST(a.doc_id AS BIGINT) AS id_a,
            CAST(b.doc_id AS BIGINT) AS id_b,
@@ -841,14 +856,18 @@ _SQL_EQUALITY_ALIGN = """
 
 def _ensure_fasta(sf_dir: str) -> str:
     """Deterministic multi-sequence FASTA derived from ``documents``
-    (header = doc_id, sequence = text with spaces replaced by '_',
-    wrapped at 60 chars — the substitution keeps line-wrap + trim
-    reassembly byte-exact, since FASTA line handling strips edge
-    whitespace)."""
+    (header = doc_id, sequence = text with spaces and '>' replaced by
+    '_', wrapped at 60 chars).  The space substitution keeps line-wrap
+    + trim reassembly byte-exact (FASTA line handling strips edge
+    whitespace); the '>' substitution prevents a wrapped line that
+    happens to start with '>' from being misparsed as a header.  Both
+    are mirrored in _SQL_FASTA_ALIGN so the oracle sees the identical
+    sequences."""
     import pyarrow.parquet as pq
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = f"/root/repo/data/docs_{tag}.fasta"
+    path = os.path.join(_REPO_ROOT, "data", f"docs_{tag}.fasta")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     src = os.path.join(sf_dir, "documents.parquet")
     stale = (os.path.exists(path)
              and os.path.getmtime(path) < os.path.getmtime(src))
@@ -860,7 +879,7 @@ def _ensure_fasta(sf_dir: str) -> str:
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
             for doc_id, text in rows:
-                seq = (text or "").replace(" ", "_")
+                seq = (text or "").replace(" ", "_").replace(">", "_")
                 fh.write(f">{doc_id}\n")
                 for i in range(0, max(len(seq), 1), 60):
                     fh.write(seq[i:i + 60] + "\n")
@@ -895,7 +914,8 @@ def fasta_align_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_FASTA_ALIGN = """
     WITH s AS (
-        SELECT doc_id, replace(text, ' ', '_')[1:120] AS seq
+        SELECT doc_id,
+               replace(replace(text, ' ', '_'), '>', '_')[1:120] AS seq
         FROM documents)
     SELECT CAST(a.doc_id AS BIGINT) AS id_a,
            CAST(b.doc_id AS BIGINT) AS id_b,
@@ -1468,7 +1488,11 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside mapInPandas.  Exploded (not array<float>) so the result is
     hashable, and oracle-checked: the payload is the ASCII EDSM header +
     document text, so DuckDB recomputes the exact byte histogram from
-    ``documents`` via ord() over each character."""
+    ``documents`` via ord() over each character.  ASCII-only oracle:
+    the per-character ord() twin equals the UTF-8 byte histogram only
+    while documents.text is pure ASCII (multi-byte codepoints would
+    yield ord()>255 rows the join silently drops) — guarded by the
+    fixture-ASCII invariant test in tests/test_fixture_invariants.py."""
     from .operators.multimodal import (extract_feature_counts,
                                        media_from_documents)
     docs = _read(spark, sf_dir, "documents")

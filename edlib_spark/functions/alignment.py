@@ -50,7 +50,12 @@ def edit_distance(query: Column, target: Column, mode: str = "NW",
     handled inside the batch kernel's Peq profile, so bulk scoring with
     wildcards / case-folding equivalences stays fully vectorized.
     """
-    eqs = ([(str(a), str(b)) for a, b in additional_equalities]
+    # normalize to hashable pairs for UDF capture; ints (codepoints)
+    # pass through unchanged — str() would turn 97 into "97" and crash
+    # the kernel's single-char validation downstream
+    eqs = ([(a if isinstance(a, int) else str(a),
+             b if isinstance(b, int) else str(b))
+            for a, b in additional_equalities]
            if additional_equalities else None)
 
     if isinstance(k, Column):

@@ -201,8 +201,12 @@ def cosine_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
             ii, jj = np.nonzero(cos >= threshold - margin)
         lo = np.minimum(ia[ii], ib[jj])
         hi = np.maximum(ia[ii], ib[jj])
-        return pd.DataFrame({"id_a": lo, "id_b": hi,
-                             "cos_approx": cos[ii, jj]})
+        # duplicate vec_ids in the input would otherwise emit a
+        # self-pair here (lo == hi), which the id_a < id_b theta-join
+        # formulation could never produce — drop them for parity
+        keep = lo != hi
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep],
+                             "cos_approx": cos[ii, jj][keep]})
 
     cands = replicated.groupBy("bi", "bj").applyInPandas(gemm, cand_schema)
 

@@ -160,6 +160,35 @@ def test_batch_equalities_match_kernel():
                 assert got.tolist() == want, (mode, use_native)
 
 
+def test_equalities_int_codepoints_and_validation():
+    """Integer-codepoint equality pairs work end-to-end, and multi-char
+    string entries fail with a clear ValueError (not an opaque ord()
+    TypeError)."""
+    want = batch_edit_distance(["abc"], ["ABC"], mode="NW", k=-1,
+                               equalities=[("a", "A"), ("b", "B"),
+                                           ("c", "C")])
+    got = batch_edit_distance(["abc"], ["ABC"], mode="NW", k=-1,
+                              equalities=[(97, 65), (98, 66), (99, 67)])
+    assert got.tolist() == want.tolist() == [0]
+    with pytest.raises(ValueError, match="single characters"):
+        batch_edit_distance(["a"], ["b"], equalities=[("ab", "c")])
+
+
+def test_edit_distance_column_int_equalities(spark):
+    """functions.alignment.edit_distance must pass int codepoints
+    through unchanged (str(97) -> '97' used to crash the encoder)."""
+    from pyspark.sql import functions as F
+
+    from edlib_spark.functions.alignment import edit_distance
+
+    df = spark.createDataFrame([("abc", "ABC")], "q string, t string")
+    out = df.select(
+        edit_distance(F.col("q"), F.col("t"), "NW", -1,
+                      additional_equalities=[(97, 65), (98, 66),
+                                             (99, 67)]).alias("d"))
+    assert out.collect()[0].d == 0
+
+
 @pytest.mark.parametrize("mode", MODES)
 def test_batch_tight_k_long_near_identical(mode):
     """Regression: k << 64 on multi-block near-identical pairs.  The

@@ -109,3 +109,17 @@ def test_cosine_neardup_handles_empty_blocks(spark):
                  cosine_neardup_pairs(emb, threshold=0.9,
                                       n_blocks=16).collect())
     assert got == [(0, 100, 1.0)]
+
+
+def test_cosine_neardup_duplicate_ids_no_self_pairs(spark):
+    """Duplicate vec_ids in the input must not emit (x, x) self-pairs —
+    parity with the id_a < id_b theta-join formulation, which could
+    never produce one."""
+    from edlib_spark.operators.dedup import cosine_neardup_pairs
+    emb = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (7, [1.0, 0.0]), (9, [0.99, 0.01]),
+         (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    got = cosine_neardup_pairs(emb, threshold=0.9, n_blocks=4).collect()
+    assert all(r.id_a != r.id_b for r in got)
+    assert {(r.id_a, r.id_b) for r in got} == {(7, 9)}
