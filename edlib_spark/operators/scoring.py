@@ -48,6 +48,11 @@ def score_pairs(pairs: DataFrame, canon: DataFrame, tau: float = 0.2,
                      "norm_distance")
 
 
+# top_n_best collects n sample distances to the driver; keep n small
+# enough that the collect and the global top-n sort are trivially safe
+MAX_TOP_N = 100_000
+
+
 def top_n_best(pairs: DataFrame, n: int, mode: str = "NW",
                sample_factor: int = 8) -> DataFrame:
     """Top-``n`` smallest edit distances over (id_a, id_b, text_a,
@@ -66,7 +71,20 @@ def top_n_best(pairs: DataFrame, n: int, mode: str = "NW",
     Result is EXACT: identical rows to a full unbounded scan + top-n
     (deterministic (distance, id_a, id_b) tie-break).  Falls back to
     the single unbounded pass when the input is too small to sample.
+
+    Driver-memory note: the sample pass collects exactly ``n`` scalar
+    distances to the driver (``limit(n)`` before the collect), so the
+    driver footprint is O(n) ints by construction — independent of the
+    pair count.  ``n`` is capped at ``MAX_TOP_N`` to keep both that
+    collect and the final top-n sort trivially driver-safe; a top-n
+    larger than that is a different query shape (use an ordered write,
+    not a driver-side heap).
     """
+    if n > MAX_TOP_N:
+        raise ValueError(
+            f"top_n_best n={n} exceeds MAX_TOP_N={MAX_TOP_N}; the "
+            "two-pass adaptive-k design collects n distances to the "
+            "driver, which is only appropriate for small n")
     dist = lambda k: edit_distance(  # noqa: E731
         F.col("text_a"), F.col("text_b"), mode=mode, k=k)
     top = lambda df: (df.select("id_a", "id_b", "edit_distance")  # noqa: E731

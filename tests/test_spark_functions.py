@@ -196,3 +196,17 @@ def test_top_n_best_matches_unbounded_scan(spark):
               .collect())
     got_s = top_n_best(small, 15).collect()
     assert [tuple(r) for r in got_s] == [tuple(r) for r in want_s]
+
+
+def test_top_n_best_caps_n(spark):
+    """The two-pass design collects n sample distances to the driver;
+    n beyond MAX_TOP_N must be rejected up front, not silently risk
+    driver memory."""
+    import pytest as _pytest
+    from edlib_spark.operators.scoring import MAX_TOP_N, top_n_best
+
+    pairs = spark.createDataFrame(
+        [(0, 1, "a", "b")], "id_a long, id_b long, text_a string, "
+                            "text_b string")
+    with _pytest.raises(ValueError, match="MAX_TOP_N"):
+        top_n_best(pairs, MAX_TOP_N + 1)
