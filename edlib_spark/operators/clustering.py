@@ -60,20 +60,84 @@ def _edge_fingerprint(edges: DataFrame):
     return row["n"], row["h"]
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 25)\
+# Endgame bound for the hybrid fixpoint: once the (exactly measured)
+# surviving edge count is at or below this, the component structure
+# fits trivially on the driver (~200k edges x ~40 B of string ids
+# ≈ 8 MB) and the remaining iterations are replaced by one union-find.
+# The star passes shrink the edge set geometrically, so at any scale
+# the distributed loop runs only until it crosses this bound — what it
+# saves is the long sequential tail of near-empty Spark jobs, which
+# dominates wall time on small graphs and is pure scheduling overhead
+# at every scale.
+DRIVER_CC_MAX_EDGES = 200_000
+
+
+def _finish_on_driver(edges: DataFrame) -> DataFrame:
+    """Union-find over a SMALL edge set (bounded by the caller via the
+    measured fingerprint count — this is not an unbounded collect).
+    Output contract is identical to the distributed fixpoint:
+    (conv_id, cluster_id) for every node in the edges, cluster_id = min
+    id of the component.  Python's str ordering is codepoint order ==
+    UTF-8 byte order == Spark's string ordering, so the min matches
+    exactly for string ids as well as numeric ones."""
+    from pyspark.sql.types import StructField, StructType
+
+    spark = edges.sparkSession
+    id_type = edges.schema["id_a"].dataType
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes: set = set()
+    for row in edges.collect():
+        a, b = row[0], row[1]
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # min id per component is the cluster id (same for either id type)
+    comp_min: dict = {}
+    for n in nodes:
+        r = find(n)
+        m = comp_min.get(r)
+        comp_min[r] = n if m is None or n < m else m
+    out_schema = StructType([StructField("conv_id", id_type),
+                             StructField("cluster_id", id_type)])
+    assign = [(n, comp_min[find(n)]) for n in nodes]
+    return spark.createDataFrame(assign, out_schema)
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 25,
+                         driver_finish_max_edges: int = DRIVER_CC_MAX_EDGES)\
         -> DataFrame:
     """(conv_id, cluster_id) for every node appearing in ``edges``;
-    cluster_id = min conv_id of the component."""
-    spark = edges.sparkSession
-    if edges.isEmpty():
-        return spark.createDataFrame([], "conv_id string, cluster_id string")
+    cluster_id = min conv_id of the component.
 
+    Hybrid fixpoint: distributed large-star/small-star passes while the
+    edge set is big, one driver union-find once the measured count
+    crosses ``driver_finish_max_edges`` (the fingerprint action already
+    computes the exact count, so the gate costs nothing).  Both paths
+    produce identical assignments; set ``driver_finish_max_edges=0`` to
+    force the fully-distributed loop."""
+    spark = edges.sparkSession
     default_par = spark.sparkContext.defaultParallelism
     current = edges.select("id_a", "id_b").localCheckpoint(eager=False)
-    # materialize + fingerprint in one job; the input fingerprint also
-    # lets the first star pass right-size its partitioning below
+    # materialize + fingerprint in one job; its exact count doubles as
+    # the empty-input check, the driver-finish gate, and the partition
+    # right-sizing input — no separate isEmpty() action
     prev_fp = _edge_fingerprint(current)
+    if prev_fp[0] == 0:
+        return _finish_on_driver(current)  # empty, schema-typed result
     for _ in range(max_iterations):
+        if prev_fp[0] <= driver_finish_max_edges:
+            return _finish_on_driver(current)
         # ONE driver-synchronous job per (large-star . small-star) pass:
         # the two star ops compose lazily into a LAZY localCheckpoint,
         # and the fingerprint aggregate is the action that materializes

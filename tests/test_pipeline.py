@@ -50,6 +50,27 @@ def test_connected_components_chain(spark):
     assert got.count() == n + 1
 
 
+def test_cc_driver_finish_equals_distributed(spark):
+    """The hybrid fixpoint's driver union-find endgame must produce
+    byte-identical assignments to the fully-distributed star loop, on
+    random graphs with string AND bigint ids (driver_finish_max_edges=0
+    forces the distributed path)."""
+    import numpy as np
+    rng = np.random.default_rng(99)
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, 120, (300, 2))
+             if a != b}
+    str_edges = spark.createDataFrame(
+        [(f"c{a:03d}", f"c{b:03d}") for a, b in pairs], ["id_a", "id_b"])
+    int_edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "id_a long, id_b long")
+    for edges in (str_edges, int_edges):
+        fast = {tuple(r) for r in connected_components(edges).collect()}
+        slow = {tuple(r) for r in connected_components(
+            edges, driver_finish_max_edges=0).collect()}
+        assert fast == slow
+        assert len(fast) == len({r[0] for r in fast})  # one row per node
+
+
 def test_cluster_assignments_includes_singletons(spark):
     nodes = spark.createDataFrame([("a",), ("b",), ("z",)], ["conv_id"])
     edges = spark.createDataFrame([("a", "b")], ["id_a", "id_b"])

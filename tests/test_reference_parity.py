@@ -234,3 +234,52 @@ def test_batched_equality_parity_vs_reference_binary(probe):
                     qs, ts, mode, np.array(ks), use_native=use_native,
                     equalities=pairs)
                 assert got.tolist() == want, (mode, eqs, use_native)
+
+
+def test_native_tight_k_multiblock_parity_vs_reference_binary(probe):
+    """The round-2 bug class, pinned against the COMPILED reference:
+    tight k (< 64, including k smaller than the true distance) on
+    multi-block queries (3-7 blocks of 64), with and without equality
+    pairs, routed explicitly through batch_edit_distance's native scan
+    AND the numpy lane.  Targets are near-identical mutations of the
+    query so true distances cluster around the k boundary — the regime
+    where the original native band-extension logic returned -1 for true
+    distances <= k.  This suite fails if the C scan ever drifts from
+    the reference again."""
+    from edlib_spark.batch import batch_edit_distance
+    rng = np.random.default_rng(20260817)
+    alpha = "acgt"
+    eq_variants = {"": None, "ac": [("a", "c")]}
+    for mode in ("NW", "SHW", "HW"):
+        for eqs, pairs in eq_variants.items():
+            qs, ts, ks, cases = [], [], [], []
+            for i in range(80):
+                qlen = int(rng.integers(190, 450))  # 3-7 blocks
+                q = "".join(alpha[j] for j in rng.integers(0, 4, qlen))
+                # mutate ~1-10% of positions + an occasional indel so
+                # true distance is small relative to qlen
+                t = list(q)
+                n_mut = int(rng.integers(1, max(2, qlen // 10)))
+                for pos in rng.integers(0, qlen, n_mut):
+                    t[pos] = alpha[int(rng.integers(0, 4))]
+                if i % 3 == 0:
+                    cut = int(rng.integers(0, qlen))
+                    del t[cut:cut + int(rng.integers(1, 5))]
+                t = "".join(t)
+                if mode == "HW":  # infix: embed in flanking text
+                    flank = "".join(alpha[j] for j in rng.integers(
+                        0, 4, rng.integers(0, 200)))
+                    t = flank + t + flank[::-1]
+                # k straddles the true-distance scale: 0..60, all < 64
+                # (single-word band on a multi-word query)
+                k = int(rng.integers(0, 61))
+                qs.append(q)
+                ts.append(t)
+                ks.append(k)
+                cases.append((mode, "distance", k, eqs, q, t))
+            want = [w[0] for w in _run_reference(probe, cases)]
+            for use_native in (True, False):
+                got = batch_edit_distance(
+                    qs, ts, mode, np.array(ks), use_native=use_native,
+                    equalities=pairs)
+                assert got.tolist() == want, (mode, eqs, use_native)
