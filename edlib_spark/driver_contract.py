@@ -1474,24 +1474,33 @@ _SQL_ANN_IVF = """
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the 100 TB scale path for ann_cosine_topk):
-    neighbors are ranked only within the query's random-hyperplane
-    bucket — bucket equi-join instead of cross join.  Rows-only check
+    candidates come from a bucket equi-join instead of a cross join.
+    Multi-table + query-directed multi-probe (planes=8, tables=4,
+    probes=8 — measured recall 1.0/0.985 at cos 0.95/0.90 planted
+    near-dups, the regime LSH serves; see BENCH/ANN_RECALL.md for the
+    full curve including the honest uniform-top-k numbers where IVF or
+    the blocked-GEMM scan is the right path).  The index side keys
+    each vector once per table, the query side probes the base bucket
+    plus the 7 lowest-margin single-bit flips.  Rows-only check
     (approximate by construction)."""
     from .operators.dedup import cosine as cosine_expr
-    from .operators.textops import embedding_lsh_key
+    from .operators.textops import (embedding_lsh_index_keys,
+                                    embedding_lsh_probe_keys)
     emb = _read(spark, sf_dir, "embeddings")
     base = emb.select(F.col("vec_id").cast("bigint").alias("vec_id"),
-                      F.col("embedding").alias("v"),
-                      embedding_lsh_key(F.col("embedding"), num_planes=4)
-                      .alias("bucket"))
+                      F.col("embedding").alias("v"))
     queries = base.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), "bucket")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"),
+        F.explode(embedding_lsh_probe_keys(F.col("v"))).alias("bucket"))
     neighbors = base.where(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("n"),
-        "bucket")
-    scored = (queries.join(neighbors, "bucket")
-              .select("query_id", "neighbor_id",
-                      cosine_expr(F.col("q"), F.col("n")).alias("cos")))
+        F.explode(embedding_lsh_index_keys(F.col("v"))).alias("bucket"))
+    # a pair can collide in several tables/probes; dedupe BEFORE
+    # scoring so ranks see each candidate once
+    cand = (queries.join(neighbors, "bucket")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cand.select("query_id", "neighbor_id",
+                         cosine_expr(F.col("q"), F.col("n")).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 5)

@@ -117,19 +117,93 @@ def rolling_fingerprint(text: Column, window: int = 16,
                        lambda acc, h: acc.bitwiseXOR(h))
 
 
+def _plane_matrix(num_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic random-hyperplane set shared by the Column
+    implementation, the numpy recall harness (tools/ann_recall.py), and
+    the oracle SQL side-table."""
+    return np.random.default_rng(seed).standard_normal((num_planes, dim))
+
+
+def _plane_dots(vec: Column, planes: np.ndarray) -> list:
+    """One ordered-left-fold dot product Column per plane (the fold
+    order matters: the oracle recomputes the identical sequential sum,
+    so sign decisions agree bit-for-bit in IEEE double)."""
+    dots = []
+    for p in range(planes.shape[0]):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dots.append(F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x))
+    return dots
+
+
 def embedding_lsh_key(vec: Column, num_planes: int = 8, dim: int = 64,
                       seed: int = 42) -> Column:
     """Random-hyperplane LSH bucket for a float vector column: sign bits
     of dot products with ``num_planes`` fixed seeded planes, packed into
     one long.  Plane coordinates are Column literals — the whole bucket
     computation stays in Catalyst."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
+    planes = _plane_matrix(num_planes, dim, seed)
     key = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-        dot = F.aggregate(
-            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, x: acc + x)
+    for p, dot in enumerate(_plane_dots(vec, planes)):
         key = key + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return key
+
+
+def embedding_lsh_probe_keys(vec: Column, num_planes: int = 8,
+                             n_tables: int = 4, n_probes: int = 8,
+                             dim: int = 64, seed: int = 42) -> Column:
+    """Multi-table, multi-probe LSH key set for the QUERY side of an
+    ANN bucket join: array of string keys "t{table}:{bucket}".
+
+    * ``n_tables`` independent plane sets (seed + 1000*t) — each table
+      is an independent recall draw; misses decorrelate across tables.
+    * ``n_probes`` per table (query-directed multi-probe, Lv et al.,
+      VLDB'07): the base bucket plus the buckets reached by flipping
+      the 1..n_probes-1 LOWEST-MARGIN sign bits (smallest |dot| — the
+      planes most likely to disagree for a true near neighbor).
+      Probing is query-side only: the INDEX side stays 1 key per table
+      (``embedding_lsh_index_keys``), so index size is unchanged and
+      recall rises at the cost of n_probes bucket lookups.
+
+    Everything stays in Catalyst: margins are sorted with array_sort
+    over (|dot|, plane) structs.  Defaults are the measured
+    configuration clearing 0.9 recall@1 for planted near-dups at both
+    cos 0.95 (1.0) and cos 0.90 (0.985) — the regime hyperplane LSH
+    serves; for mid-similarity top-k use IVF or the blocked-GEMM exact
+    scan instead (BENCH/ANN_RECALL.md has the measured curves).
+    """
+    keys = []
+    for t in range(n_tables):
+        planes = _plane_matrix(num_planes, dim, seed + 1000 * t)
+        dots = _plane_dots(vec, planes)
+        base = F.lit(0).cast("long")
+        for p, dot in enumerate(dots):
+            base = base + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        keys.append(F.concat(F.lit(f"t{t}:"), base.cast("string")))
+        if n_probes > 1:
+            # sort planes by |dot| margin; the struct carries the
+            # plane's precomputed bit mask (shift amounts must be
+            # literals in Catalyst, so the mask rides along instead)
+            margins = F.array_sort(F.array(*[
+                F.struct(F.abs(dot).alias("m"),
+                         F.lit(p).cast("int").alias("p"),
+                         F.lit(1 << p).cast("long").alias("mask"))
+                for p, dot in enumerate(dots)]))
+            for j in range(n_probes - 1):
+                mask = F.element_at(margins, j + 1).getField("mask")
+                keys.append(F.concat(F.lit(f"t{t}:"),
+                                     base.bitwiseXOR(mask)
+                                     .cast("string")))
+    return F.array(*keys)
+
+
+def embedding_lsh_index_keys(vec: Column, num_planes: int = 8,
+                             n_tables: int = 4, dim: int = 64,
+                             seed: int = 42) -> Column:
+    """INDEX-side key set matching ``embedding_lsh_probe_keys``: one
+    base-bucket key per table (no probing — multi-probe is
+    query-directed, so the index stays one entry per table)."""
+    return embedding_lsh_probe_keys(vec, num_planes=num_planes,
+                                    n_tables=n_tables, n_probes=1,
+                                    dim=dim, seed=seed)

@@ -1,0 +1,295 @@
+"""ANN recall measurement: the LSH and IVF bucketed paths vs the exact
+brute-force truth (ann_cosine_topk semantics), in TWO regimes:
+
+* UNIFORM top-k: top-5 neighbors inside the fixture corpus, whose
+  embeddings are random directions (median top-5 cosine ~0.35).  This
+  regime is provably hyperplane-LSH-hostile: per-plane agreement at
+  cos 0.35 is ~0.61, so a table of 8 planes retrieves a true neighbor
+  with probability ~0.61^8 ~ 0.02 — no affordable (tables, probes)
+  reaches 0.9.  The engine's scale paths for this regime are IVF
+  (cell-restricted, measured below) and the blocked-GEMM exact scan
+  (embedding_cosine_neardup's plan shape).
+
+* PLANTED near-dup retrieval: queries are noisy copies of corpus
+  vectors at a target cosine (0.90 / 0.95) — the regime LSH is FOR
+  (near-duplicate detection).  Recall@1 = share of planted queries
+  whose source vector is retrieved.  The default config is chosen to
+  clear 0.9 here.
+
+The sweep mirrors operators.textops.embedding_lsh_probe_keys exactly
+(same seeded planes, same query-directed multi-probe policy); the
+chosen default is then validated through the REAL Spark operators.
+Writes BENCH/ANN_RECALL.md.  Usage: python tools/ann_recall.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+K = 5
+N_QUERY = 200
+
+CONFIGS = [
+    (4, 1, 1),   # round-2 default
+    (8, 1, 1),
+    (8, 2, 4),
+    (8, 2, 8),
+    (8, 4, 8),
+    (6, 2, 4),
+    (10, 2, 8),
+]
+DEFAULT_CFG = (8, 4, 8)
+
+
+def load_embeddings():
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], vecs[order]
+
+
+def probe_key_sets(vecs, num_planes, n_tables, n_probes, seed=42):
+    """Per-vector, per-table key sets mirroring
+    embedding_lsh_probe_keys (n_probes=1 == the index side)."""
+    from edlib_spark.operators.textops import _plane_matrix
+    n = len(vecs)
+    out = []
+    for t in range(n_tables):
+        planes = _plane_matrix(num_planes, vecs.shape[1], seed + 1000 * t)
+        dots = vecs @ planes.T
+        bits = (dots > 0).astype(np.int64)
+        base = (bits << np.arange(num_planes)).sum(axis=1)
+        sets = []
+        if n_probes > 1:
+            margin_order = np.argsort(np.abs(dots), axis=1, kind="stable")
+            for i in range(n):
+                s = {int(base[i])}
+                for j in range(n_probes - 1):
+                    s.add(int(base[i]) ^ (1 << int(margin_order[i, j])))
+                sets.append(s)
+        else:
+            sets = [{int(b)} for b in base]
+        out.append(sets)
+    return out
+
+
+def index_base_keys(vecs, num_planes, n_tables, seed=42):
+    from edlib_spark.operators.textops import _plane_matrix
+    out = np.empty((n_tables, len(vecs)), dtype=np.int64)
+    for t in range(n_tables):
+        planes = _plane_matrix(num_planes, vecs.shape[1], seed + 1000 * t)
+        bits = ((vecs @ planes.T) > 0).astype(np.int64)
+        out[t] = (bits << np.arange(num_planes)).sum(axis=1)
+    return out
+
+
+def lsh_candidates_exact(qvecs, nvecs, cfg):
+    num_planes, n_tables, n_probes = cfg
+    qkeys = probe_key_sets(qvecs, num_planes, n_tables, n_probes)
+    nbase = index_base_keys(nvecs, num_planes, n_tables)
+    cands = [set() for _ in range(len(qvecs))]
+    for t in range(n_tables):
+        buckets: dict = {}
+        for pos, b in enumerate(nbase[t]):
+            buckets.setdefault(int(b), []).append(pos)
+        for qi in range(len(qvecs)):
+            for key in qkeys[t][qi]:
+                cands[qi].update(buckets.get(key, ()))
+    return cands
+
+
+def uniform_sweep(ids, vecs):
+    norm = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+    q = norm[:N_QUERY]
+    nb = norm[N_QUERY:]
+    sims = q @ nb.T
+    truth = np.argsort(-sims, axis=1, kind="stable")[:, :K]
+    med_cos = float(np.median(sims[np.arange(len(q))[:, None],
+                                   truth]))
+    rows = []
+    for cfg in CONFIGS:
+        cands = lsh_candidates_exact(q, nb, cfg)
+        hits = sum(len(set(truth[i]) & cands[i]) for i in range(len(q)))
+        cand_frac = sum(len(c) for c in cands) / (len(q) * len(nb))
+        rows.append((*cfg, hits / (len(q) * K), cand_frac))
+    return rows, med_cos
+
+
+def planted_sweep(vecs, target_cos, seed=7):
+    """Queries = noisy copies of corpus vectors at ~target_cos;
+    recall@1 of retrieving the source among LSH candidates."""
+    rng = np.random.default_rng(seed)
+    norm = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+    src = rng.integers(0, len(norm), N_QUERY)
+    # q = cos*v + sin*u for random unit u orthogonal to v
+    noise = rng.standard_normal((N_QUERY, norm.shape[1]))
+    noise -= (noise * norm[src]).sum(1, keepdims=True) * norm[src]
+    noise /= np.maximum(np.linalg.norm(noise, axis=1, keepdims=True),
+                        1e-300)
+    sin = np.sqrt(1 - target_cos ** 2)
+    q = target_cos * norm[src] + sin * noise
+    rows = []
+    for cfg in CONFIGS:
+        cands = lsh_candidates_exact(q, norm, cfg)
+        recall = sum(1 for i in range(N_QUERY)
+                     if int(src[i]) in cands[i]) / N_QUERY
+        cand_frac = sum(len(c) for c in cands) / (N_QUERY * len(norm))
+        rows.append((*cfg, recall, cand_frac))
+    return rows
+
+
+def spark_validate():
+    """The real operators, both regimes: (a) contract ann_lsh_topk and
+    ann_ivf_topk vs ann_cosine_topk on the fixture (uniform regime);
+    (b) the probe/index key Columns on planted near-dups at cos 0.95."""
+    from pyspark.sql import functions as F
+
+    from edlib_spark import driver_contract as dc
+    from edlib_spark.operators.textops import (embedding_lsh_index_keys,
+                                               embedding_lsh_probe_keys)
+    from edlib_spark.session import get_spark
+
+    spark = get_spark("ann-recall", master="local[8]",
+                      shuffle_partitions=16)
+    truth = {(r.query_id, r.neighbor_id)
+             for r in dc.ann_cosine_topk(spark, SF_DIR).collect()}
+    lsh = {(r.query_id, r.neighbor_id)
+           for r in dc.ann_lsh_topk(spark, SF_DIR).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in dc.ann_ivf_topk(spark, SF_DIR).collect()}
+    uniform_lsh = len(lsh & truth) / len(truth)
+    uniform_ivf = len(ivf & truth) / len(truth)
+
+    # planted regime through the actual Column implementations
+    ids, vecs = load_embeddings()
+    rng = np.random.default_rng(7)
+    norm = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+    src = rng.integers(0, len(norm), N_QUERY)
+    noise = rng.standard_normal((N_QUERY, norm.shape[1]))
+    noise -= (noise * norm[src]).sum(1, keepdims=True) * norm[src]
+    noise /= np.maximum(np.linalg.norm(noise, axis=1, keepdims=True),
+                        1e-300)
+    q = 0.95 * norm[src] + np.sqrt(1 - 0.95 ** 2) * noise
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in q[i]]) for i in range(N_QUERY)],
+        "qid long, v array<double>").select(
+        "qid", F.explode(embedding_lsh_probe_keys(
+            F.col("v"), num_planes=DEFAULT_CFG[0],
+            n_tables=DEFAULT_CFG[1], n_probes=DEFAULT_CFG[2]))
+        .alias("bucket"))
+    ndf = spark.createDataFrame(
+        [(int(ids[i]), [float(x) for x in norm[i]])
+         for i in range(len(ids))],
+        "vec_id long, v array<double>").select(
+        "vec_id", F.explode(embedding_lsh_index_keys(
+            F.col("v"), num_planes=DEFAULT_CFG[0],
+            n_tables=DEFAULT_CFG[1])).alias("bucket"))
+    hit = (qdf.join(ndf, "bucket")
+           .select("qid", "vec_id").distinct().collect())
+    got = {}
+    for r in hit:
+        got.setdefault(r.qid, set()).add(r.vec_id)
+    planted = sum(1 for i in range(N_QUERY)
+                  if int(ids[src[i]]) in got.get(i, ()))/N_QUERY
+    spark.stop()
+    return uniform_lsh, uniform_ivf, planted
+
+
+def main():
+    ids, vecs = load_embeddings()
+    uni, med_cos = uniform_sweep(ids, vecs)
+    p95 = planted_sweep(vecs, 0.95)
+    p90 = planted_sweep(vecs, 0.90)
+    for tag, rows in (("uniform", uni), ("planted95", p95),
+                      ("planted90", p90)):
+        for r in rows:
+            print(f"{tag} planes={r[0]} tables={r[1]} probes={r[2]} "
+                  f"recall={r[3]:.3f} cand_frac={r[4]:.3f}")
+    u_lsh, u_ivf, planted_spark = spark_validate()
+    print(f"spark uniform lsh={u_lsh:.3f} ivf={u_ivf:.3f} "
+          f"planted95={planted_spark:.3f}")
+
+    def tbl(rows, col):
+        return "\n".join(
+            f"| {p} | {t} | {pr} | {r:.3f} | {cf:.3f} |"
+            for p, t, pr, r, cf in rows)
+
+    md = f"""# BENCH — ANN recall vs brute-force truth
+
+Measured on `{SF_DIR}` embeddings ({len(ids)} vectors, dim
+{vecs.shape[1]}), {N_QUERY} queries.  `cand_frac` = share of the
+corpus each query actually scores (brute force = 1.0).  Multi-probe
+is query-directed (Lv et al., VLDB'07): the index holds ONE key per
+table; queries additionally probe the lowest-|dot|-margin single-bit
+flips.  The sweep mirrors `textops.embedding_lsh_probe_keys` exactly.
+
+## Regime 1 — uniform top-{K} (fixture corpus, median true-neighbor
+cosine {med_cos:.2f})
+
+| planes | tables | probes | recall@{K} | cand_frac |
+|---|---|---|---|---|
+{tbl(uni, 3)}
+
+Hyperplane LSH **cannot** serve this regime, by geometry, not by
+tuning: per-plane agreement at cos {med_cos:.2f} is
+~{1 - np.arccos(med_cos) / np.pi:.2f}, so an 8-plane table retrieves
+a true neighbor with probability ~{(1 - np.arccos(med_cos) / np.pi) ** 8:.3f};
+reaching 0.9 recall needs tens of tables probing most of the corpus
+(see cand_frac growing toward 1 above).  The engine's scale paths for
+mid-similarity top-k are **IVF** (`ann_ivf_topk`, cell-restricted
+exact rerank — Spark-measured recall@{K} **{u_ivf:.2f}** below) and
+the **blocked-GEMM exact scan** (the `embedding_cosine_neardup` plan
+shape, recall 1.0 at n*B shuffle cost).  `ann_lsh_topk` on this
+fixture measures **{u_lsh:.2f}** through the real operator —
+reported for honesty, not as a recommended use.
+
+## Regime 2 — planted near-dup retrieval (the LSH use case)
+
+recall@1 of retrieving the source vector of a noisy copy:
+
+At cosine 0.95:
+
+| planes | tables | probes | recall@1 | cand_frac |
+|---|---|---|---|---|
+{tbl(p95, 3)}
+
+At cosine 0.90:
+
+| planes | tables | probes | recall@1 | cand_frac |
+|---|---|---|---|---|
+{tbl(p90, 3)}
+
+**Chosen default: planes={DEFAULT_CFG[0]}, tables={DEFAULT_CFG[1]},
+probes={DEFAULT_CFG[2]}** — clears 0.9 recall in the near-dup regime
+at both 0.95 and 0.90 cosine with ~1-2% of brute-force work, and is
+what `ann_lsh_topk` / `embedding_lsh_probe_keys` now use.  Validated
+through the real Spark Columns on planted cos-0.95 near-dups:
+**recall@1 = {planted_spark:.3f}**.
+
+Scale note: recall depends only on (planes, tables, probes) and the
+similarity of the pairs you need to find — not corpus size — while
+cand_frac SHRINKS with corpus size (2^planes buckets per table), so
+the same config is more selective at 100 TB.  `tables` is the recall
+lever (linear index cost), `probes` the cheap query-time lever.
+
+Reproduce: `python tools/ann_recall.py {SF_DIR}`
+"""
+    with open("/root/repo/BENCH/ANN_RECALL.md", "w") as fh:
+        fh.write(md)
+    print("wrote BENCH/ANN_RECALL.md")
+
+
+if __name__ == "__main__":
+    main()
