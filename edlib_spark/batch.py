@@ -20,11 +20,15 @@ Key properties:
     Spark partitions by length (see pipeline.scoring).
 
 The reference's per-pair Ukkonen block banding (edlib.cpp:559-562,
-751-755) is intentionally NOT replicated per pair here: with a shared
-band the vector lanes would diverge.  The k < |tlen-qlen| shortcut is
-lifted to a Catalyst predicate before the UDF (edlib.cpp:744-747), and
-the column-level early exit covers the rest.  Block-level shared banding
-is a planned optimization.
+751-755) is approximated at CHUNK granularity: truly per-pair bands
+would diverge the vector lanes, so instead pairs are chunk-grouped by
+geometric k-magnitude (plus block count and target length) and each
+chunk runs a shared band sized at its kmax — within 2x of every
+member's own band, so a large-k outlier cannot widen the band for
+unrelated pairs.  The k < |tlen-qlen| shortcut is lifted to a Catalyst
+predicate before the UDF (edlib.cpp:744-747), and the column-level
+early exit covers the rest.  (The cffi scan has true per-pair banding
+and takes all-BMP batches; this path is the fallback.)
 """
 
 from __future__ import annotations
@@ -224,19 +228,33 @@ def batch_edit_distance(queries, targets, mode: str = "NW", k=-1,
                     and ia != ib):
                 eq_dense.append((ia, ib))
 
-    # order by (num_blocks, target_length); bucket nearby block counts
-    # together (padding queries up to the bucket max) so chunks stay big
-    # enough to amortize per-column numpy overhead.
+    # order by (num_blocks, k-magnitude, target_length); bucket nearby
+    # block counts together (padding queries up to the bucket max) so
+    # chunks stay big enough to amortize per-column numpy overhead.
+    # The k-magnitude key (geometric: floor(log2(k+1))) groups pairs
+    # with similar bounds so the chunk scanner's shared Ukkonen band —
+    # sized at the chunk's kmax — is within 2x of every member's own
+    # k: one large-k outlier lands in its own chunk instead of
+    # widening the band for the whole batch (the per-pair analogue of
+    # reference edlib.cpp:559-562 at chunk granularity).
     nb = (q_lens[todo] + WORD - 1) // WORD
-    order = np.lexsort((t_lens[todo], nb))
+    kb = np.int64(np.log2(np.maximum(k_arr[todo], 0) + 1) + 1e-12)
+    order = np.lexsort((t_lens[todo], kb, nb))
     todo = todo[order]
     nb = nb[order]
+    kb = kb[order]
 
     pos = 0
     while pos < len(todo):
         b_cap = max(int(nb[pos]) + 1, int(nb[pos] * 1.3))
         end = pos
-        while end < len(todo) and nb[end] <= b_cap:
+        while end < len(todo) and nb[end] <= b_cap and kb[end] == kb[pos]:
+            end += 1
+        # tiny k-groups pay more in per-op numpy overhead than a wider
+        # band costs: merge them forward across k buckets (band sizing
+        # at the chunk's kmax keeps results identical either way)
+        while (end - pos < _MIN_CHUNK and end < len(todo)
+               and nb[end] <= b_cap):
             end += 1
         b = int(nb[end - 1])  # pad width for the bucket
         # within a bucket block counts are padded equal, so re-sort purely

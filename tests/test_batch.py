@@ -160,6 +160,37 @@ def test_batch_equalities_match_kernel():
                 assert got.tolist() == want, (mode, use_native)
 
 
+@pytest.mark.parametrize("mode", MODES)
+def test_batch_mixed_k_nonbmp_chunk_grouping(mode):
+    """Mixed per-pair k on non-BMP text (numpy path): the geometric
+    k-magnitude chunk grouping must not change results — every pair
+    matches the exact kernel regardless of which chunk/band served it."""
+    rng = np.random.default_rng(321)
+    alpha = "acg\U0001F600"  # non-BMP symbol forces the numpy lane
+    qs, ts, ks = [], [], []
+    for i in range(120):
+        qlen = int(rng.integers(0, 300))
+        q = "".join(alpha[j] for j in rng.integers(0, 4, qlen))
+        if i % 2:  # near-identical pair
+            t = list(q)
+            for p in rng.integers(0, max(qlen, 1), 5):
+                if qlen:
+                    t[p] = alpha[int(rng.integers(0, 4))]
+            t = "".join(t)
+        else:
+            t = "".join(alpha[j] for j in rng.integers(
+                0, 4, rng.integers(0, 400)))
+        k = int(rng.choice([3, 10, 40, 200, 5000]))
+        qs.append(q)
+        ts.append(t)
+        ks.append(k)
+    want = [align(q, t, mode=mode, k=k)["editDistance"]
+            for q, t, k in zip(qs, ts, ks)]
+    got = batch_edit_distance(qs, ts, mode, np.array(ks),
+                              use_native=False)
+    assert got.tolist() == want
+
+
 def test_equalities_int_codepoints_and_validation():
     """Integer-codepoint equality pairs work end-to-end, and multi-char
     string entries fail with a clear ValueError (not an opaque ord()
