@@ -785,19 +785,131 @@ def doc_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("band_key")))
 
 
+_SHINGLE_HASHES_PATH = os.path.join(_REPO_ROOT, "data",
+                                    "shingle_hashes_current.parquet")
+
+
+def _ensure_shingle_hashes(spark: SparkSession, sf_dir: str,
+                           window: int = 16) -> None:
+    """Materialize per-shingle xxhash64 values for ``documents`` (the
+    only non-SQL-derivable input of the winnowing fingerprint) so
+    DuckDB re-derives the keep-mod selection and xor fold itself.
+    Same fixed-path + marker convention as _ensure_token_hashes."""
+    import json as _json
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    marker = _SHINGLE_HASHES_PATH + ".marker"
+    state = {"sf_dir": os.path.abspath(sf_dir),
+             "src_mtime": os.path.getmtime(src)}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if _json.load(fh) == state:
+                    return
+        except (ValueError, OSError):
+            pass
+    docs = _read(spark, sf_dir, "documents")
+    length = F.length("text")
+    idx = F.sequence(F.lit(1), F.greatest(length - F.lit(window - 1),
+                                          F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.xxhash64(
+        F.col("text").substr(i, F.lit(window))))
+    sh = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     F.explode_outer(shingles).alias("h"))
+    os.makedirs(os.path.dirname(_SHINGLE_HASHES_PATH), exist_ok=True)
+    sh.coalesce(1).write.mode("overwrite").parquet(_SHINGLE_HASHES_PATH)
+    with open(marker, "w") as fh:
+        _json.dump(state, fh)
+
+
+# Winnowing fingerprint rebuilt from the shared shingle hashes: DuckDB
+# re-derives the keep-mod filter (h divisible by keep_mod — identical
+# under either sign convention) and the xor fold (associative, so the
+# unordered bit_xor aggregate equals Spark's left fold); empty or
+# all-dropped documents fold to 0 like F.aggregate's init.
+_SQL_DOC_FINGERPRINT = f"""
+    SELECT doc_id,
+           coalesce(bit_xor(h) FILTER (WHERE h % 8 = 0), 0) AS fingerprint
+    FROM read_parquet('{_SHINGLE_HASHES_PATH}/*.parquet')
+    GROUP BY doc_id
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash document fingerprint (rows-only)."""
+    """Winnowing-style rolling-hash document fingerprint.  Oracle-
+    backed via the shared shingle-hash parquet: only the raw xxhash64
+    values are Spark-produced; the keep-mod selection and xor fold are
+    re-derived in SQL."""
     from .operators.textops import rolling_fingerprint
+    _ensure_shingle_hashes(spark, sf_dir)
     docs = _read(spark, sf_dir, "documents")
     return docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                        rolling_fingerprint(F.col("text"))
                        .alias("fingerprint"))
 
 
+_LSH_PLANES_PATH = os.path.join(_REPO_ROOT, "data",
+                                "lsh_planes_current.parquet")
+
+
+def _ensure_lsh_planes(num_planes: int = 8, n_tables: int = 4,
+                       dim: int = 64, seed: int = 42) -> None:
+    """Materialize the seeded random-hyperplane coordinates as a small
+    parquet (tbl, p, w list<double>) so DuckDB can recompute LSH bucket
+    keys independently.  Unlike the token-hash side table these are
+    pure seeded constants (numpy PCG64), not Spark-computed values —
+    the oracle re-derives EVERYTHING: the sequential-left-fold dot
+    products (list_sum matches Catalyst's aggregate fold bit-for-bit
+    in IEEE double, verified over all fixture dots), the sign packing,
+    and (for the ANN query) the margin-sorted multi-probe keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .operators.textops import _plane_matrix
+
+    if os.path.exists(_LSH_PLANES_PATH):
+        return
+    os.makedirs(os.path.dirname(_LSH_PLANES_PATH), exist_ok=True)
+    tbls, ps, ws = [], [], []
+    for t in range(n_tables):
+        planes = _plane_matrix(num_planes, dim, seed + 1000 * t)
+        for p in range(num_planes):
+            tbls.append(t)
+            ps.append(p)
+            ws.append([float(x) for x in planes[p]])
+    pq.write_table(
+        pa.table({"tbl": pa.array(tbls, pa.int32()),
+                  "p": pa.array(ps, pa.int32()),
+                  "w": pa.array(ws, pa.list_(pa.float64()))}),
+        _LSH_PLANES_PATH)
+
+
+# Bucket key rebuilt from shared plane constants: per-plane dot via the
+# same sequential left fold, sign bits packed (buckets are < 2^8 here,
+# no sign-bit subtleties).
+_SQL_LSH_BUCKETS = f"""
+    WITH planes AS (
+        SELECT p, w FROM read_parquet('{_LSH_PLANES_PATH}') WHERE tbl = 0),
+    dots AS (
+        SELECT e.vec_id, p.p,
+               list_sum(list_transform(list_zip(e.embedding, p.w),
+                                       x -> CAST(x[1] AS DOUBLE) * x[2]))
+               AS dot
+        FROM embeddings e CROSS JOIN planes p)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p
+                         ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id
+"""
+
+
 def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket per embedding — the scale path for
-    ANN (bucket-join instead of brute force; rows-only)."""
+    ANN (bucket-join instead of brute force).  Oracle-backed: the plane
+    constants are shared via parquet and DuckDB re-derives the dots and
+    sign packing from scratch."""
     from .operators.textops import embedding_lsh_key
+    _ensure_lsh_planes()
     emb = _read(spark, sf_dir, "embeddings")
     return emb.select(F.col("vec_id").cast("bigint").alias("vec_id"),
                       embedding_lsh_key(F.col("embedding"))
@@ -1472,6 +1584,71 @@ _SQL_ANN_IVF = """
 """
 
 
+# Full SQL re-derivation of the multi-table multi-probe LSH ANN from
+# the shared plane constants: per-(vec, table) dots -> base key +
+# margin-ordered probe flips (queries) / base key only (index) ->
+# bucket equi-join -> exact cosine re-rank.  Mirrors
+# embedding_lsh_probe_keys / embedding_lsh_index_keys exactly,
+# including the (|dot|, p) margin tie-break.
+_SQL_ANN_LSH = f"""
+    WITH planes AS (
+        SELECT tbl, p, w FROM read_parquet('{_LSH_PLANES_PATH}')),
+    base AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding AS v
+        FROM embeddings),
+    dots AS (
+        SELECT b.vec_id, pl.tbl, pl.p,
+               list_sum(list_transform(list_zip(b.v, pl.w),
+                                       x -> CAST(x[1] AS DOUBLE) * x[2]))
+               AS dot
+        FROM base b CROSS JOIN planes pl),
+    keys0 AS (
+        SELECT vec_id, tbl,
+               sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p
+                        ELSE 0 END) AS bkey,
+               list(struct_pack(m := abs(dot), p := p,
+                                mask := CAST(1 AS BIGINT) << p)
+                    ORDER BY abs(dot), p) AS margins
+        FROM dots GROUP BY vec_id, tbl),
+    idx AS (
+        SELECT vec_id AS neighbor_id,
+               't' || tbl || ':' || CAST(bkey AS VARCHAR) AS bucket
+        FROM keys0 WHERE vec_id >= 10),
+    probes AS (
+        SELECT vec_id AS query_id,
+               't' || tbl || ':' || CAST(bkey AS VARCHAR) AS bucket
+        FROM keys0 WHERE vec_id < 10
+        UNION
+        SELECT k.vec_id,
+               't' || k.tbl || ':' ||
+               CAST(xor(k.bkey, u.m.mask) AS VARCHAR)
+        FROM keys0 k, unnest(list_slice(k.margins, 1, 7)) AS u(m)
+        WHERE k.vec_id < 10),
+    cand AS (
+        SELECT DISTINCT p.query_id, i.neighbor_id
+        FROM probes p JOIN idx i ON p.bucket = i.bucket),
+    vecs AS (
+        SELECT vec_id, CAST(v AS DOUBLE[]) AS v FROM base),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_sum(list_transform(list_zip(q.v, n.v),
+                                       x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(n.v, x -> x * x)))) AS cos
+        FROM cand c
+        JOIN vecs q ON q.vec_id = c.query_id
+        JOIN vecs n ON n.vec_id = c.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(cos, 4) AS cos_r
+    FROM ranked WHERE rank <= 5
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the 100 TB scale path for ann_cosine_topk):
     candidates come from a bucket equi-join instead of a cross join.
@@ -1481,11 +1658,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full curve including the honest uniform-top-k numbers where IVF or
     the blocked-GEMM scan is the right path).  The index side keys
     each vector once per table, the query side probes the base bucket
-    plus the 7 lowest-margin single-bit flips.  Rows-only check
-    (approximate by construction)."""
+    plus the 7 lowest-margin single-bit flips.  Oracle-backed: DuckDB
+    re-derives the ENTIRE path (dots, sign packing, margin-sorted
+    probes, bucket join, exact rerank) from the shared plane constants
+    (_SQL_ANN_LSH)."""
     from .operators.dedup import cosine as cosine_expr
     from .operators.textops import (embedding_lsh_index_keys,
                                     embedding_lsh_probe_keys)
+    _ensure_lsh_planes()
     emb = _read(spark, sf_dir, "embeddings")
     base = emb.select(F.col("vec_id").cast("bigint").alias("vec_id"),
                       F.col("embedding").alias("v"))
@@ -1826,9 +2006,15 @@ def build_oracle_sql():
         "transcripts_clusters_small": _sql_transcripts_clusters_small(),
         "doc_simhash_buckets": _SQL_SIMHASH_BUCKETS,
         "doc_simhash_neardup": _SQL_SIMHASH_NEARDUP,
-        # remaining rows-only: xxhash64-based blocking/fingerprints
-        # (DuckDB has no xxhash64 and lacks wrapping 64-bit arithmetic
-        # to reimplement it; the SimHash pair above shares the raw
-        # hashes via parquet and re-derives everything downstream),
-        # CIGAR/path strings, LSH-bucketed ANN
+        "doc_fingerprint": _SQL_DOC_FINGERPRINT,
+        "embedding_lsh_buckets": _SQL_LSH_BUCKETS,
+        "ann_lsh_topk": _SQL_ANN_LSH,
+        # remaining rows-only (6): minhash_blocks_documents (its band
+        # key re-hashes the signature ARRAY with xxhash64, which DuckDB
+        # cannot mirror even given shared gram hashes), untruncated
+        # hw/shw_distance_documents + hw_locations_documents (the
+        # min-over-substrings oracle is quadratic in untruncated
+        # lengths; their *_exact twins are oracle-green), and
+        # nice_alignment/align_path (CIGAR strings have no SQL
+        # analogue; pinned by compiled-reference parity instead)
     }
