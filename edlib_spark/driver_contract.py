@@ -1263,7 +1263,80 @@ def align_path_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("bigint").alias("end_location")))
 
 
+_GRAM_HASHES_PATH = os.path.join(_REPO_ROOT, "data",
+                                 "gram_hashes_current.parquet")
+
+
+def _ensure_gram_hashes(spark: SparkSession, sf_dir: str,
+                        ngram: int = 5) -> None:
+    """Materialize per-char-n-gram xxhash64 (mod p) values for
+    ``documents`` — the only non-SQL-derivable input of the MinHash
+    blocking keys.  DuckDB re-derives the affine permutations, per-
+    permutation minima, and band-tuple keys itself.  Same fixed-path +
+    marker convention as _ensure_token_hashes."""
+    import json as _json
+
+    from .operators.blocking import base_gram_hashes
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    marker = _GRAM_HASHES_PATH + ".marker"
+    state = {"sf_dir": os.path.abspath(sf_dir),
+             "src_mtime": os.path.getmtime(src)}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if _json.load(fh) == state:
+                    return
+        except (ValueError, OSError):
+            pass
+    docs = _read(spark, sf_dir, "documents")
+    gh = docs.select(F.col("doc_id").cast("string").alias("conv_id"),
+                     F.explode_outer(base_gram_hashes(F.col("text"),
+                                                      ngram)).alias("h"))
+    os.makedirs(os.path.dirname(_GRAM_HASHES_PATH), exist_ok=True)
+    gh.coalesce(1).write.mode("overwrite").parquet(_GRAM_HASHES_PATH)
+    with open(marker, "w") as fh:
+        _json.dump(state, fh)
+
+
+def _sql_minhash_blocks() -> str:
+    """MinHash band keys rebuilt from the shared gram hashes: the 16
+    affine permutation coefficients (seeded, public) are embedded as
+    literals; DuckDB recomputes min((a*h + b) % p) per permutation and
+    renders the exact band tuples — matching minhash_blocks' collision-
+    free key encoding."""
+    from .operators.blocking import _P, _minhash_coeffs
+
+    coeffs = _minhash_coeffs(16, 42)
+    coef_rows = ", ".join(f"({i}, {a}, {b})"
+                          for i, (a, b) in enumerate(coeffs))
+    return f"""
+    WITH gh AS (SELECT conv_id, h
+                FROM read_parquet('{_GRAM_HASHES_PATH}/*.parquet')),
+    coef(i, a, b) AS (VALUES {coef_rows}),
+    mins AS (
+        SELECT gh.conv_id, c.i,
+               min((gh.h * c.a + c.b) % {_P}) AS mv
+        FROM gh CROSS JOIN coef c
+        WHERE gh.h IS NOT NULL
+        GROUP BY gh.conv_id, c.i),
+    sig AS (SELECT conv_id, list(mv ORDER BY i) AS sg
+            FROM mins GROUP BY conv_id),
+    bands(bi) AS (VALUES (0), (1), (2), (3))
+    SELECT conv_id,
+           'mh' || bi || ':' ||
+           array_to_string(list_transform(
+               list_slice(sg, bi * 4 + 1, bi * 4 + 4),
+               x -> CAST(x AS VARCHAR)), ',') AS block_key
+    FROM sig CROSS JOIN bands
+    """
+
+
 def minhash_blocks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH blocking keys over documents.  Oracle-backed via the
+    shared gram-hash parquet: DuckDB re-derives the permutations,
+    minima, and band tuples (see _sql_minhash_blocks)."""
+    _ensure_gram_hashes(spark, sf_dir)
     docs = _read(spark, sf_dir, "documents")
     canon = docs.select(F.col("doc_id").cast("string").alias("conv_id"),
                         F.col("text").alias("full_text"))
@@ -2009,12 +2082,11 @@ def build_oracle_sql():
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "embedding_lsh_buckets": _SQL_LSH_BUCKETS,
         "ann_lsh_topk": _SQL_ANN_LSH,
-        # remaining rows-only (6): minhash_blocks_documents (its band
-        # key re-hashes the signature ARRAY with xxhash64, which DuckDB
-        # cannot mirror even given shared gram hashes), untruncated
-        # hw/shw_distance_documents + hw_locations_documents (the
-        # min-over-substrings oracle is quadratic in untruncated
-        # lengths; their *_exact twins are oracle-green), and
-        # nice_alignment/align_path (CIGAR strings have no SQL
-        # analogue; pinned by compiled-reference parity instead)
+        "minhash_blocks_documents": _sql_minhash_blocks(),
+        # remaining rows-only (5): untruncated hw/shw_distance_documents
+        # + hw_locations_documents (the min-over-substrings oracle is
+        # quadratic in untruncated lengths; their *_exact twins are
+        # oracle-green) and nice_alignment/align_path (CIGAR strings
+        # have no SQL analogue) — each pinned by the compiled-reference
+        # parity suite instead
     }

@@ -92,7 +92,15 @@ def minhash_signature(text: Column, num_hashes: int = 16,
 
 def minhash_blocks(canon: DataFrame, num_hashes: int = 16, bands: int = 4,
                    ngram: int = 5, seed: int = 42) -> DataFrame:
-    """(conv_id, block_key) rows: one LSH bucket key per band."""
+    """(conv_id, block_key) rows: one LSH bucket key per band.
+
+    The band key is the EXACT r-tuple of minhash values rendered as a
+    string ("mh{i}:v1,v2,..."), not a re-hash of the tuple: identical
+    blocking semantics (docs collide iff the band rows agree), zero
+    hash-collision false merges, and the key stays derivable by an
+    independent SQL engine given the gram hashes (driver_contract
+    shares them for the oracle).  ~48-byte keys vs 24 for a re-hash —
+    immaterial against the text payloads the downstream join moves."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     # two projections: gram hashes computed once, then permutations
@@ -103,8 +111,9 @@ def minhash_blocks(canon: DataFrame, num_hashes: int = 16, bands: int = 4,
         minhash_from_base(F.col("bh"), num_hashes, seed).alias("sig"))
     keys = F.array(*[
         F.concat(F.lit(f"mh{i}:"),
-                 F.xxhash64(F.slice(F.col("sig"), i * rows + 1, rows),
-                            F.lit(i)).cast("string"))
+                 F.array_join(F.transform(
+                     F.slice(F.col("sig"), i * rows + 1, rows),
+                     lambda v: v.cast("string")), ","))
         for i in range(bands)
     ])
     return (with_sig
