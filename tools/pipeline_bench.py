@@ -47,6 +47,12 @@ def main() -> None:
     m = pairwise_f1(clusters, truth)
     spark.stop()
 
+    # simultaneous host-silicon sample: the shared sandbox delivers a
+    # fluctuating fraction of its 32 vCPUs (see BENCH/BASELINE.md), so
+    # wall numbers are only comparable across runs via this ceiling
+    from bench import host_cpu_ceiling
+    ceiling32 = host_cpu_ceiling(32)
+
     rows = "\n".join(f"| {name} | {n:,} |" for name, n in counts.items())
     md = f"""# BENCH — full linkage pipeline at '{scale}' scale
 
@@ -64,6 +70,10 @@ variants of base conversations, mutation rate 1-12% per char):
 precision {m['precision']:.4f}, recall {m['recall']:.4f},
 **F1 {m['f1']:.4f}** (target >= 0.99; {int(m['true_pairs']):,} true
 pairs, {int(m['common_pairs']):,} recovered).
+
+Host silicon at run time (Spark-free raw-CPU units/s at 32 procs —
+samples have ranged 7.7-14.7 across rounds; normalize wall
+numbers by it before comparing across runs): **{ceiling32:.2f}**.
 
 Reproduce: `python tools/pipeline_bench.py {scale}`
 """
