@@ -107,6 +107,19 @@ def test_equality_scoring_is_batched_single_arrow_boundary(spark):
     assert "CartesianProduct" not in p, p
 
 
+def test_ann_lsh_is_bucket_equijoin_jvm_only(spark):
+    """The LSH ANN scale path must be a bucket equi-join with all key
+    derivation and cosine re-ranking in Catalyst: no cartesian/nested-
+    loop join, and no Python evaluation anywhere in the plan."""
+    from edlib_spark.driver_contract import ann_lsh_topk
+    df = ann_lsh_topk(spark, "/root/testdata/sf0.001")
+    p = plan_of(df, "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "EvalPython" not in p, p  # Arrow or row-at-a-time
+    assert "bucket" in p, p
+
+
 def test_cosine_neardup_has_no_cross_join(spark):
     """Exact embedding near-dup must not materialize the n^2 theta join:
     candidates come from the blocked-GEMM applyInPandas tasks, and the
