@@ -167,7 +167,11 @@ def _scored_of(canon: DataFrame, tau: float) -> DataFrame:
 
 def scored_pairs_events(spark: SparkSession, sf_dir: str,
                         tau: float = TAU) -> DataFrame:
-    return _scored_of(canonical_conversations(spark, sf_dir), tau)
+    # pin canon once: the blocks branch and both text-attach join sides
+    # otherwise each re-derive the events window + groupBy (4 scans)
+    canon = canonical_conversations(spark, sf_dir) \
+        .localCheckpoint(eager=False)
+    return _scored_of(canon, tau)
 
 
 def _sql_scored(tau: float) -> str:
