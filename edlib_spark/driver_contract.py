@@ -85,9 +85,25 @@ _SQL_TRANSCRIPTS = """
 
 
 def canonical_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = transcripts_from_events(spark, sf_dir)
+    # Same values as canonicalize(transcripts_from_events(...)), but the
+    # canonicalization groups by the RAW user_id (the window's partition
+    # key) and prefixes 'u' only after the agg: grouping by the derived
+    # concat key would force a second full text shuffle because
+    # Catalyst cannot prove hashpartitioning(user_id) satisfies
+    # hashpartitioning(concat('u', user_id)).  One text shuffle, not
+    # two — at 100 TB that is the difference between moving the corpus
+    # once or twice.
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("user_id").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("turn_idx"),
+        F.concat(F.col("event_type"), F.lit(" "), F.col("props"))
+         .alias("text"))
     return (canonicalize(t, sep=SEP)
-            .select("conv_id", "full_text",
+            .select(F.concat(F.lit("u"), F.col("conv_id").cast("string"))
+                    .alias("conv_id"),
+                    "full_text",
                     F.col("n_turns").cast("bigint").alias("n_turns"),
                     F.col("text_len").cast("bigint").alias("text_len")))
 
