@@ -136,31 +136,36 @@ def host_cpu_ceiling(n_procs: int) -> float:
 
 
 def headline_queries(spark, sf_dir):
-    """Per-query wall seconds on the driver sf dir."""
+    """Per-query wall seconds on the driver sf dir.
+
+    Returns (cold, warm): ``cold`` keeps the historical semantics (one
+    shot each in a fresh session — first-query JVM/codegen/page-cache
+    costs included, comparable to earlier rounds); ``warm`` is
+    best-of-2 repeats, the controlled engine number on this shared
+    host whose deliverable silicon swings ~2x between runs (see
+    BENCH/BASELINE.md)."""
     from edlib_spark import driver_contract as dc
 
-    qs = {}
-
-    secs, _ = _timed(lambda: dc.canonical_conversations(
-        spark, sf_dir).count())
-    qs["canonicalize_events"] = secs
-
-    secs, _ = _timed(lambda: dc.scored_pairs_events(spark, sf_dir).count())
-    qs["scored_pairs_events"] = secs
-
-    secs, _ = _timed(lambda: dc.clusters_events(spark, sf_dir).count())
-    qs["clusters_events"] = secs
-
-    secs, _ = _timed(lambda: dc.doc_exact_dedup(spark, sf_dir).count())
-    qs["doc_exact_dedup"] = secs
-
-    secs, _ = _timed(lambda: dc.ann_cosine_topk(spark, sf_dir).count())
-    qs["ann_cosine_topk"] = secs
-
-    secs, _ = _timed(lambda: dc.minhash_blocks_documents(
-        spark, sf_dir).count())
-    qs["minhash_blocks_documents"] = secs
-    return qs
+    queries = [
+        ("canonicalize_events", lambda: dc.canonical_conversations(
+            spark, sf_dir).count()),
+        ("scored_pairs_events", lambda: dc.scored_pairs_events(
+            spark, sf_dir).count()),
+        ("clusters_events", lambda: dc.clusters_events(
+            spark, sf_dir).count()),
+        ("doc_exact_dedup", lambda: dc.doc_exact_dedup(
+            spark, sf_dir).count()),
+        ("ann_cosine_topk", lambda: dc.ann_cosine_topk(
+            spark, sf_dir).count()),
+        ("minhash_blocks_documents", lambda: dc.minhash_blocks_documents(
+            spark, sf_dir).count()),
+    ]
+    cold, warm = {}, {}
+    for name, fn in queries:
+        cold[name], _ = _timed(fn)
+    for name, fn in queries:
+        warm[name] = min(_timed(fn)[0] for _ in range(2))
+    return cold, warm
 
 
 def pipeline_section(spark) -> dict:
@@ -212,7 +217,8 @@ def main():
     spark = run_at(f"local[{CPUS}]", max(32, CPUS))
     ensure_bench_pairs(spark)
 
-    results["queries"] = headline_queries(spark, SF_DIR)
+    results["queries"], results["queries_warm"] = headline_queries(
+        spark, SF_DIR)
 
     # pair scoring headline: the first shot reads the 2.3 GB pair table
     # through a cold page cache on a shared host, which measures I/O +
