@@ -706,23 +706,21 @@ _TOKEN_HASHES_PATH = os.path.join(_REPO_ROOT, "data",
                                   "token_hashes_current.parquet")
 
 
-def _ensure_token_hashes(spark: SparkSession, sf_dir: str) -> None:
-    """Materialize per-token xxhash64 values for ``documents`` as a
-    small parquet the SimHash oracles read.  DuckDB has no xxhash64, so
-    hash parity is not re-derivable in SQL — but once the hashes are
-    shared, the SimHash majority vote, signed bit packing, banding, and
-    Hamming join ARE, which upgrades doc_simhash_buckets /
-    doc_simhash_neardup from rows-only to hash-exact oracle checks.
+def _ensure_side_table(sf_dir: str, path: str, build) -> None:
+    """Marker-gated write of an oracle side table (Spark-computed
+    xxhash64 values DuckDB cannot re-derive; everything downstream of
+    them IS re-derived in SQL).
 
     Written to one FIXED path: the gate runs each Spark query before
     its oracle on one sf_dir at a time, so whichever query ran last
     determines the content — the same convention the flagship
     transcript fixtures use.  A marker records (sf_dir, source mtime)
-    to skip rewrites within and across runs on the same input."""
+    to skip rewrites within and across runs on the same input;
+    ``build()`` is only invoked when a write is needed."""
     import json as _json
 
     src = os.path.join(sf_dir, "documents.parquet")
-    marker = _TOKEN_HASHES_PATH + ".marker"
+    marker = path + ".marker"
     state = {"sf_dir": os.path.abspath(sf_dir),
              "src_mtime": os.path.getmtime(src)}
     if os.path.exists(marker):
@@ -732,15 +730,29 @@ def _ensure_token_hashes(spark: SparkSession, sf_dir: str) -> None:
                     return
         except (ValueError, OSError):
             pass
-    from .operators.textops import token_hashes
-    docs = _read(spark, sf_dir, "documents")
-    th = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                     F.explode_outer(token_hashes(F.col("text")))
-                     .alias("h"))
-    os.makedirs(os.path.dirname(_TOKEN_HASHES_PATH), exist_ok=True)
-    th.coalesce(1).write.mode("overwrite").parquet(_TOKEN_HASHES_PATH)
+    df = build()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(path)
     with open(marker, "w") as fh:
         _json.dump(state, fh)
+
+
+def _ensure_token_hashes(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize per-token xxhash64 values for ``documents`` as a
+    small parquet the SimHash oracles read.  DuckDB has no xxhash64, so
+    hash parity is not re-derivable in SQL — but once the hashes are
+    shared, the SimHash majority vote, signed bit packing, banding, and
+    Hamming join ARE, which upgrades doc_simhash_buckets /
+    doc_simhash_neardup from rows-only to hash-exact oracle checks."""
+    from .operators.textops import token_hashes
+
+    def build():
+        docs = _read(spark, sf_dir, "documents")
+        return docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                           F.explode_outer(token_hashes(F.col("text")))
+                           .alias("h"))
+
+    _ensure_side_table(sf_dir, _TOKEN_HASHES_PATH, build)
 
 
 # Shared CTE: rebuild each document's 64-bit SimHash from the Spark-
@@ -814,32 +826,18 @@ def _ensure_shingle_hashes(spark: SparkSession, sf_dir: str,
     """Materialize per-shingle xxhash64 values for ``documents`` (the
     only non-SQL-derivable input of the winnowing fingerprint) so
     DuckDB re-derives the keep-mod selection and xor fold itself.
-    Same fixed-path + marker convention as _ensure_token_hashes."""
-    import json as _json
+    Uses the SAME ``shingle_hashes`` Column as rolling_fingerprint,
+    so the query and its oracle input cannot drift."""
+    from .operators.textops import shingle_hashes
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    marker = _SHINGLE_HASHES_PATH + ".marker"
-    state = {"sf_dir": os.path.abspath(sf_dir),
-             "src_mtime": os.path.getmtime(src)}
-    if os.path.exists(marker):
-        try:
-            with open(marker) as fh:
-                if _json.load(fh) == state:
-                    return
-        except (ValueError, OSError):
-            pass
-    docs = _read(spark, sf_dir, "documents")
-    length = F.length("text")
-    idx = F.sequence(F.lit(1), F.greatest(length - F.lit(window - 1),
-                                          F.lit(1)))
-    shingles = F.transform(idx, lambda i: F.xxhash64(
-        F.col("text").substr(i, F.lit(window))))
-    sh = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                     F.explode_outer(shingles).alias("h"))
-    os.makedirs(os.path.dirname(_SHINGLE_HASHES_PATH), exist_ok=True)
-    sh.coalesce(1).write.mode("overwrite").parquet(_SHINGLE_HASHES_PATH)
-    with open(marker, "w") as fh:
-        _json.dump(state, fh)
+    def build():
+        docs = _read(spark, sf_dir, "documents")
+        return docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                           F.explode_outer(
+                               shingle_hashes(F.col("text"), window))
+                           .alias("h"))
+
+    _ensure_side_table(sf_dir, _SHINGLE_HASHES_PATH, build)
 
 
 # Winnowing fingerprint rebuilt from the shared shingle hashes: DuckDB
@@ -1292,31 +1290,17 @@ def _ensure_gram_hashes(spark: SparkSession, sf_dir: str,
     """Materialize per-char-n-gram xxhash64 (mod p) values for
     ``documents`` — the only non-SQL-derivable input of the MinHash
     blocking keys.  DuckDB re-derives the affine permutations, per-
-    permutation minima, and band-tuple keys itself.  Same fixed-path +
-    marker convention as _ensure_token_hashes."""
-    import json as _json
-
+    permutation minima, and band-tuple keys itself."""
     from .operators.blocking import base_gram_hashes
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    marker = _GRAM_HASHES_PATH + ".marker"
-    state = {"sf_dir": os.path.abspath(sf_dir),
-             "src_mtime": os.path.getmtime(src)}
-    if os.path.exists(marker):
-        try:
-            with open(marker) as fh:
-                if _json.load(fh) == state:
-                    return
-        except (ValueError, OSError):
-            pass
-    docs = _read(spark, sf_dir, "documents")
-    gh = docs.select(F.col("doc_id").cast("string").alias("conv_id"),
-                     F.explode_outer(base_gram_hashes(F.col("text"),
-                                                      ngram)).alias("h"))
-    os.makedirs(os.path.dirname(_GRAM_HASHES_PATH), exist_ok=True)
-    gh.coalesce(1).write.mode("overwrite").parquet(_GRAM_HASHES_PATH)
-    with open(marker, "w") as fh:
-        _json.dump(state, fh)
+    def build():
+        docs = _read(spark, sf_dir, "documents")
+        return docs.select(F.col("doc_id").cast("string").alias("conv_id"),
+                           F.explode_outer(base_gram_hashes(F.col("text"),
+                                                            ngram))
+                           .alias("h"))
+
+    _ensure_side_table(sf_dir, _GRAM_HASHES_PATH, build)
 
 
 def _sql_minhash_blocks() -> str:

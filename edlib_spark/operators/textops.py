@@ -102,16 +102,24 @@ def ngram_set(text: Column, n: int = 3) -> Column:
     return F.array_sort(F.array_distinct(grams))
 
 
+def shingle_hashes(text: Column, window: int = 16) -> Column:
+    """xxhash64 of every ``window``-char shingle (array<long>, one per
+    start offset; a short text yields one whole-text shingle).  Shared
+    by ``rolling_fingerprint`` and the oracle side table so the two
+    can never drift."""
+    length = F.length(text)
+    idx = F.sequence(F.lit(1), F.greatest(length - F.lit(window - 1),
+                                          F.lit(1)))
+    return F.transform(idx, lambda i: F.xxhash64(
+        text.substr(i, F.lit(window))))
+
+
 def rolling_fingerprint(text: Column, window: int = 16,
                         keep_mod: int = 8) -> Column:
     """Winnowing-style document fingerprint: xxhash64 of each
     ``window``-char shingle, keep hashes = 0 (mod keep_mod), xor-fold.
     Content-defined, so local edits perturb only nearby shingles."""
-    length = F.length(text)
-    idx = F.sequence(F.lit(1), F.greatest(length - F.lit(window - 1),
-                                          F.lit(1)))
-    shingles = F.transform(idx, lambda i: F.xxhash64(
-        text.substr(i, F.lit(window))))
+    shingles = shingle_hashes(text, window)
     kept = F.filter(shingles, lambda h: F.pmod(h, F.lit(keep_mod)) == 0)
     return F.aggregate(kept, F.lit(0).cast("long"),
                        lambda acc, h: acc.bitwiseXOR(h))

@@ -131,3 +131,43 @@ def pairwise_f1(clusters: DataFrame, truth: DataFrame) -> dict:
     return {"precision": precision, "recall": recall, "f1": f1,
             "pred_pairs": float(pred_pairs), "true_pairs": float(true_pairs),
             "common_pairs": float(both_pairs)}
+
+
+def measure_linkage(spark, scale: str,
+                    cfg: LinkageConfig | None = None) -> dict:
+    """Run the full linkage chain on the deterministic synthetic corpus
+    at ``scale`` and measure it: end-to-end wall seconds, per-stage row
+    counts, and pairwise F1 vs the planted ground truth.
+
+    The single producer of the "end-to-end pipeline" numbers — both
+    bench.py's pipeline section and tools/pipeline_bench.py report
+    from this dict, so the two records cannot diverge in methodology
+    (the wall clock covers construction through the clusters count;
+    stage counts and F1 are evaluated after, outside the timed
+    region)."""
+    import time
+
+    from ..sources.transcripts import (ensure_transcripts_parquet,
+                                       ground_truth_cluster)
+
+    tpath = ensure_transcripts_parquet(spark, scale)
+    transcripts = spark.read.parquet(tpath)
+    n_turns = transcripts.count()
+    n_convs = transcripts.select("conv_id").distinct().count()
+
+    t0 = time.perf_counter()
+    # run_linkage executes the chain during construction: the CC loop's
+    # fixpoint iterations force canonical -> ... -> edges eagerly
+    stages = run_linkage(transcripts, cfg or LinkageConfig())
+    clusters = stages["clusters"]
+    clusters.count()
+    wall = time.perf_counter() - t0
+
+    counts = {name: stages[name].count()
+              for name in ("canonical", "blocks", "pairs", "scored",
+                           "edges", "clusters")}
+    truth = clusters.select(
+        "conv_id", ground_truth_cluster(F.col("conv_id")).alias("cluster_id"))
+    metrics = pairwise_f1(clusters, truth)
+    return {"scale": scale, "turns": n_turns, "convs": n_convs,
+            "wall_sec": wall, "counts": counts, "metrics": metrics}

@@ -20,7 +20,8 @@ import os
 
 import pytest
 
-SF_DIRS = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+SF_DIRS = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                       "/root/testdata/sf0.1")
            if os.path.exists(d)]
 
 
@@ -31,8 +32,13 @@ def test_documents_text_ascii_and_gt_free(sf_dir):
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                       columns=["text"])
     for text in t.column("text").to_pylist():
-        if text is None:
-            continue
+        # NULL text would desync the fingerprint/minhash oracles too
+        # (Spark returns NULL rows the SQL folds to 0 / drops), so a
+        # fixture with NULLs must fail here, not as a gate hash diff.
+        assert text is not None, (
+            f"{sf_dir}/documents.parquet contains NULL text; the "
+            "doc_fingerprint and minhash_blocks oracles diverge from "
+            "Spark on NULL documents")
         assert text.isascii(), (
             f"{sf_dir}/documents.parquet contains non-ASCII text; "
             "_SQL_EQUALITY_ALIGN and _SQL_MEDIA_FEATURES oracles are "

@@ -226,6 +226,13 @@ def main():
             f"| {p} | {t} | {pr} | {r:.3f} | {cf:.3f} |"
             for p, t, pr, r, cf in rows)
 
+    # candidate cost of the chosen default, from the measurement itself
+    # (worst case across the two planted regimes) — never hardcoded
+    def_cf = max(
+        next(cf for p, t, pr, _r, cf in rows
+             if (p, t, pr) == DEFAULT_CFG)
+        for rows in (p95, p90))
+
     md = f"""# BENCH — ANN recall vs brute-force truth
 
 Measured on `{SF_DIR}` embeddings ({len(ids)} vectors, dim
@@ -273,7 +280,8 @@ At cosine 0.90:
 
 **Chosen default: planes={DEFAULT_CFG[0]}, tables={DEFAULT_CFG[1]},
 probes={DEFAULT_CFG[2]}** — clears 0.9 recall in the near-dup regime
-at both 0.95 and 0.90 cosine with ~1-2% of brute-force work, and is
+at both 0.95 and 0.90 cosine while scoring ~{def_cf:.0%} of the
+corpus per query (vs 100% brute force) on this fixture, and is
 what `ann_lsh_topk` / `embedding_lsh_probe_keys` now use.  Validated
 through the real Spark Columns on planted cos-0.95 near-dups:
 **recall@1 = {planted_spark:.3f}**.

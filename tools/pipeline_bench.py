@@ -9,42 +9,20 @@ Usage: python tools/pipeline_bench.py [scale]   (default: medium)
 from __future__ import annotations
 
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
 
 def main() -> None:
-    from pyspark.sql import functions as F
-
-    from edlib_spark.plans.linkage import (LinkageConfig, pairwise_f1,
-                                           run_linkage)
+    from edlib_spark.plans.linkage import measure_linkage
     from edlib_spark.session import get_spark
-    from edlib_spark.sources.transcripts import (ensure_transcripts_parquet,
-                                                 ground_truth_cluster)
 
     scale = sys.argv[1] if len(sys.argv) > 1 else "medium"
     spark = get_spark("pipeline-bench", master="local[32]",
                       shuffle_partitions=64)
-    tpath = ensure_transcripts_parquet(spark, scale)
-    transcripts = spark.read.parquet(tpath)
-    n_turns = transcripts.count()
-    n_convs = transcripts.select("conv_id").distinct().count()
-
-    t0 = time.perf_counter()
-    # run_linkage executes the chain during construction: the CC loop's
-    # fixpoint iterations force canonical -> ... -> edges eagerly
-    stages = run_linkage(transcripts, LinkageConfig())
-    clusters = stages["clusters"]
-    clusters.count()
-    total = time.perf_counter() - t0
-    counts = {name: stages[name].count()
-              for name in ("canonical", "blocks", "pairs", "scored",
-                           "edges", "clusters")}
-
-    truth = clusters.select(
-        "conv_id", ground_truth_cluster(F.col("conv_id")).alias("cluster_id"))
-    m = pairwise_f1(clusters, truth)
+    res = measure_linkage(spark, scale)
+    n_turns, n_convs = res["turns"], res["convs"]
+    total, counts, m = res["wall_sec"], res["counts"], res["metrics"]
     spark.stop()
 
     # simultaneous host-silicon sample: the shared sandbox delivers a
