@@ -1233,9 +1233,147 @@ def hw_locations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("first_end"))
 
 
+_NICE_CIGARS_PATH = os.path.join(_REPO_ROOT, "data",
+                                 "nice_cigars_current.parquet")
+_PATH_CIGARS_PATH = os.path.join(_REPO_ROOT, "data",
+                                 "path_cigars_current.parquet")
+
+
+def _sql_cigar_replay(pairs_sql: str, side_path: str,
+                      final_select: str) -> str:
+    """Certificate-style oracle for CIGAR-producing queries.
+
+    A CIGAR string is a traceback artifact with no closed-form SQL
+    derivation, but its *correctness* has one: a CIGAR is a valid
+    optimal alignment iff (a) every '=' run copies identical substrings
+    and every 'X' run covers only differing positions, (b) the run
+    lengths consume exactly the two inputs, and (c) its cost (X+I+D)
+    equals levenshtein(query, target).  So the Spark-computed CIGAR is
+    shared via a side table (the established token-hash convention) and
+    DuckDB independently REPLAYS it against the raw texts, emitting the
+    CIGAR only when the full validity+optimality certificate holds and
+    a poison value otherwise — any invalid or suboptimal path
+    hash-mismatches.  The one degree of freedom left unchecked (WHICH
+    optimal path, when several exist) is exactly what the
+    compiled-reference parity suite pins byte-exactly
+    (tests/test_reference_parity.py).
+
+    `pairs_sql` must yield pairs(id_a, id_b, text_a, text_b);
+    `final_select` projects from pairs p, side table c, and the
+    per-pair certificate/rendering aggregate ch (runs_ok, q_used,
+    t_used, cost, query_aligned, matched_aligned, target_aligned)."""
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    pc AS (
+        SELECT id_a, id_b, cigar FROM read_parquet('{side_path}/*.parquet')
+    ), runs0 AS (
+        SELECT p.id_a, p.id_b, p.text_a, p.text_b,
+               regexp_extract_all(c.cigar, '\\d+[=XID]') AS rlist
+        FROM pairs p JOIN pc c USING (id_a, id_b)
+    ), runs AS (
+        SELECT id_a, id_b, text_a, text_b,
+               unnest(rlist) AS run,
+               unnest(range(1, len(rlist) + 1)) AS idx
+        FROM runs0
+    ), ops AS (
+        SELECT *, CAST(rtrim(run, '=XID') AS BIGINT) AS rl,
+               right(run, 1) AS op
+        FROM runs
+    ), offs AS (
+        SELECT *,
+            CAST(COALESCE(SUM(CASE WHEN op IN ('=','X','I') THEN rl END)
+                OVER (PARTITION BY id_a, id_b ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS q_off,
+            CAST(COALESCE(SUM(CASE WHEN op IN ('=','X','D') THEN rl END)
+                OVER (PARTITION BY id_a, id_b ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS t_off
+        FROM ops
+    ), segs AS (
+        SELECT *,
+            substr(text_a, q_off + 1, rl) AS qs,
+            substr(text_b, t_off + 1, rl) AS ts,
+            CASE WHEN op = 'D' THEN repeat('-', rl)
+                 ELSE substr(text_a, q_off + 1, rl) END AS q_seg,
+            CASE WHEN op = 'I' THEN repeat('-', rl)
+                 ELSE substr(text_b, t_off + 1, rl) END AS t_seg,
+            CASE op WHEN '=' THEN repeat('|', rl)
+                    WHEN 'X' THEN repeat('.', rl)
+                    ELSE repeat('-', rl) END AS m_seg
+        FROM offs
+    ), checked AS (
+        SELECT id_a, id_b,
+            bool_and(CASE
+                WHEN op = 'I' THEN length(qs) = rl
+                WHEN op = 'D' THEN length(ts) = rl
+                WHEN length(qs) <> rl OR length(ts) <> rl THEN FALSE
+                WHEN op = '=' THEN qs = ts
+                ELSE mismatches(qs, ts) = rl END) AS runs_ok,
+            SUM(CASE WHEN op IN ('=','X','I') THEN rl ELSE 0 END) AS q_used,
+            SUM(CASE WHEN op IN ('=','X','D') THEN rl ELSE 0 END) AS t_used,
+            SUM(CASE WHEN op IN ('X','I','D') THEN rl ELSE 0 END) AS cost,
+            string_agg(q_seg, '' ORDER BY idx) AS query_aligned,
+            string_agg(m_seg, '' ORDER BY idx) AS matched_aligned,
+            string_agg(t_seg, '' ORDER BY idx) AS target_aligned
+        FROM segs GROUP BY id_a, id_b
+    )
+    {final_select}
+    """
+
+
+# The certificate condition shared by both CIGAR oracles (see
+# _sql_cigar_replay): replayed runs valid, both inputs fully consumed,
+# cost optimal.
+_SQL_CIGAR_VALID = """ch.runs_ok AND ch.q_used = length(p.text_a)
+                 AND ch.t_used = length(p.text_b)
+                 AND ch.cost = levenshtein(p.text_a, p.text_b)"""
+
+_SQL_NICE_PAIRS = """
+        SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+               CAST(b.doc_id AS BIGINT) AS id_b,
+               substr(a.text, 1, 80) AS text_a,
+               substr(b.text, 1, 80) AS text_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE b.doc_id < 30
+"""
+
+_SQL_NICE_ALIGNMENT = _sql_cigar_replay(
+    _SQL_NICE_PAIRS, _NICE_CIGARS_PATH, f"""
+    SELECT p.id_a, p.id_b,
+           CASE WHEN {_SQL_CIGAR_VALID}
+                THEN c.cigar ELSE '!invalid' END AS cigar,
+           ch.query_aligned, ch.matched_aligned, ch.target_aligned
+    FROM pairs p JOIN pc c USING (id_a, id_b)
+    JOIN checked ch USING (id_a, id_b)""")
+
+_SQL_PATH_PAIRS = """
+        SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+               CAST(b.doc_id AS BIGINT) AS id_b,
+               a.text AS text_a, b.text AS text_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE b.doc_id < 50
+"""
+
+_SQL_ALIGN_PATH = _sql_cigar_replay(
+    _SQL_PATH_PAIRS, _PATH_CIGARS_PATH, f"""
+    SELECT p.id_a, p.id_b,
+           CAST(levenshtein(p.text_a, p.text_b) AS BIGINT)
+               AS edit_distance,
+           CASE WHEN {_SQL_CIGAR_VALID}
+                THEN c.cigar ELSE '!invalid' END AS cigar,
+           CAST(length(p.text_b) - 1 AS BIGINT) AS end_location
+    FROM pairs p JOIN pc c USING (id_a, id_b)
+    JOIN checked ch USING (id_a, id_b)""")
+
+
 def nice_alignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """getNiceAlignment rendering (edlib.pyx:158-238) over a few
-    adjacent doc pairs.  Rows-only."""
+    adjacent doc pairs.  Oracle-backed (certificate style,
+    _sql_cigar_replay): the Spark CIGAR is shared via a side table,
+    DuckDB replays it for validity+optimality and re-derives all three
+    aligned renderings from the CIGAR in pure SQL — the rendering math
+    of this query is fully SQL-checked."""
     from .functions.alignment import nice_alignment
     docs = _read(spark, sf_dir, "documents")
     a = docs.select(F.col("doc_id").alias("id_a"),
@@ -1249,18 +1387,24 @@ def nice_alignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = joined.select("id_a", "id_b", "text_a", "text_b",
                            res.alias("r"))
     nice = nice_alignment(F.col("r"), F.col("text_a"), F.col("text_b"))
-    return (joined.select(
+    out = (joined.select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
         F.col("r.cigar").alias("cigar"),
         nice.getField("query_aligned").alias("query_aligned"),
         nice.getField("matched_aligned").alias("matched_aligned"),
         nice.getField("target_aligned").alias("target_aligned")))
+    _ensure_side_table(sf_dir, _NICE_CIGARS_PATH,
+                       lambda: out.select("id_a", "id_b", "cigar"))
+    return out
 
 
 def align_path_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full alignment results (locations + CIGAR) for adjacent doc pairs
-    (task='path'; no SQL equivalent)."""
+    (task='path').  Oracle-backed (certificate style, _sql_cigar_replay):
+    the CIGAR itself rides a side table while DuckDB independently
+    verifies it is a valid optimal path and re-derives distance and NW
+    end location."""
     docs = _read(spark, sf_dir, "documents")
     a = docs.select(F.col("doc_id").alias("id_a"),
                     F.col("text").alias("text_a"))
@@ -1270,15 +1414,18 @@ def align_path_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = a.join(b, "id_a").where(F.col("id_b") < 50)
     res = align_expr(F.col("text_a"), F.col("text_b"), mode="NW",
                      task="path")
-    return (joined.select(F.col("id_a").cast("bigint").alias("id_a"),
-                          F.col("id_b").cast("bigint").alias("id_b"),
-                          res.alias("r"))
-            .select("id_a", "id_b",
-                    F.col("r.editDistance").cast("bigint")
-                     .alias("edit_distance"),
-                    F.col("r.cigar").alias("cigar"),
-                    F.col("r.locations").getItem(0).getField("end")
-                     .cast("bigint").alias("end_location")))
+    out = (joined.select(F.col("id_a").cast("bigint").alias("id_a"),
+                         F.col("id_b").cast("bigint").alias("id_b"),
+                         res.alias("r"))
+           .select("id_a", "id_b",
+                   F.col("r.editDistance").cast("bigint")
+                    .alias("edit_distance"),
+                   F.col("r.cigar").alias("cigar"),
+                   F.col("r.locations").getItem(0).getField("end")
+                    .cast("bigint").alias("end_location")))
+    _ensure_side_table(sf_dir, _PATH_CIGARS_PATH,
+                       lambda: out.select("id_a", "id_b", "cigar"))
+    return out
 
 
 _GRAM_HASHES_PATH = os.path.join(_REPO_ROOT, "data",
@@ -2087,10 +2234,11 @@ def build_oracle_sql():
         "embedding_lsh_buckets": _SQL_LSH_BUCKETS,
         "ann_lsh_topk": _SQL_ANN_LSH,
         "minhash_blocks_documents": _sql_minhash_blocks(),
-        # remaining rows-only (5): untruncated hw/shw_distance_documents
+        "nice_alignment_documents": _SQL_NICE_ALIGNMENT,
+        "align_path_documents": _SQL_ALIGN_PATH,
+        # remaining rows-only (3): untruncated hw/shw_distance_documents
         # + hw_locations_documents (the min-over-substrings oracle is
         # quadratic in untruncated lengths; their *_exact twins are
-        # oracle-green) and nice_alignment/align_path (CIGAR strings
-        # have no SQL analogue) — each pinned by the compiled-reference
-        # parity suite instead
+        # oracle-green) — each pinned by the compiled-reference parity
+        # suite instead
     }

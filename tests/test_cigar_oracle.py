@@ -1,0 +1,82 @@
+"""The CIGAR certificate oracle (_sql_cigar_replay) is itself logic —
+pin it without Spark: kernel-produced paths must validate and render
+identically to get_nice_alignment, and every corruption class (wrong
+cost, shifted runs, '=' over a mismatch, trailing garbage, truncated
+consumption) must poison the emitted CIGAR so the driver hash breaks."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from edlib_spark import kernel
+from edlib_spark.driver_contract import _sql_cigar_replay, _SQL_CIGAR_VALID
+
+PAIRS = [
+    ("hello world", "hxllo wrld"),
+    ("abcdef", "abQQcdefZZ"),
+    ("same", "same"),
+    ("kitten", "sitting"),
+    ("a" * 80, "b" + "a" * 70),
+]
+
+
+def _run(tmp_path, rows):
+    """rows: (id_a, id_b, text_a, text_b, cigar). Returns oracle rows
+    keyed by id_a."""
+    side = tmp_path / "side"
+    side.mkdir(exist_ok=True)
+    pq.write_table(pa.table({
+        "id_a": pa.array([r[0] for r in rows], pa.int64()),
+        "id_b": pa.array([r[1] for r in rows], pa.int64()),
+        "cigar": [r[4] for r in rows],
+    }), side / "part-0.parquet")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tp(id_a BIGINT, id_b BIGINT,"
+                " text_a VARCHAR, text_b VARCHAR)")
+    con.executemany("INSERT INTO tp VALUES (?,?,?,?)",
+                    [r[:4] for r in rows])
+    sql = _sql_cigar_replay(
+        "SELECT id_a, id_b, text_a, text_b FROM tp", str(side), f"""
+        SELECT p.id_a,
+               CASE WHEN {_SQL_CIGAR_VALID}
+                    THEN c.cigar ELSE '!invalid' END AS cigar,
+               ch.query_aligned, ch.matched_aligned, ch.target_aligned
+        FROM pairs p JOIN pc c USING (id_a, id_b)
+        JOIN checked ch USING (id_a, id_b)""")
+    return {r[0]: r for r in con.sql(sql).fetchall()}
+
+
+def test_kernel_paths_certify_and_render(tmp_path):
+    rows, expect = [], {}
+    for i, (a, b) in enumerate(PAIRS):
+        res = kernel.align(a, b, mode="NW", task="path")
+        nice = kernel.get_nice_alignment(res, a, b)
+        rows.append((i, i + 1, a, b, res["cigar"]))
+        expect[i] = (res["cigar"], nice["query_aligned"],
+                     nice["matched_aligned"], nice["target_aligned"])
+    got = _run(tmp_path, rows)
+    assert set(got) == set(expect)
+    for i, (cig, qa, ma, ta) in expect.items():
+        assert got[i] == (i, cig, qa, ma, ta)
+
+
+@pytest.mark.parametrize("cigar", [
+    "5=",            # cost 0 but levenshtein is 1
+    "2=1X2=",        # '=' run covers the actual mismatch position
+    "1=1Xgarbage",   # unparseable tail -> under-consumes both inputs
+    "1=1X2=",        # consumes 4 of 5 chars
+    "1=1X3=1I",      # overruns the query
+    "3=1X1=",        # right totals+cost but an '=' run copies differing text
+    "2X3=",          # 'X' run covers a matching position
+    "1=1I1D3=",      # valid replayable path but cost 2 > optimal 1
+])
+def test_corrupt_cigars_poison(tmp_path, cigar):
+    got = _run(tmp_path, [(0, 1, "hello", "hxllo", cigar)])
+    assert got[0][1] == "!invalid"
+
+
+def test_valid_cigar_passes(tmp_path):
+    got = _run(tmp_path, [(0, 1, "hello", "hxllo", "1=1X3=")])
+    assert got[0][1] == "1=1X3="
+    assert got[0][2:] == ("hello", "|.|||", "hxllo")
