@@ -934,7 +934,12 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("bigint").alias("bucket"))
 
 def hw_distance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Infix (HW) distances — no DuckDB equivalent (rows-only check)."""
+    """Infix (HW) distances over UNTRUNCATED targets.  Oracle-checked:
+    _SQL_HW_DOCUMENTS runs the full O(|q|·|t|) free-start Levenshtein
+    DP as a recursive CTE (cells-as-rows, one target column per
+    iteration), so no substring expansion and no truncation are
+    needed — an exact cross-engine recomputation of the semi-global
+    kernel (edlib.cpp:532-704, mode HW) at full document length."""
     docs = _read(spark, sf_dir, "documents")
     a = docs.select(F.col("doc_id").alias("id_a"),
                     F.substring("text", 10, 40).alias("text_a"))
@@ -949,6 +954,12 @@ def hw_distance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shw_distance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHW (prefix) distances over UNTRUNCATED targets.  Oracle-checked
+    via a length-bound argument: lev(q, t[:j]) >= j - |q| and the empty
+    prefix already achieves |q|, so prefixes longer than 2|q| can never
+    improve the minimum — the untruncated SHW distance equals the min
+    over only the first 2|q| prefixes, which DuckDB evaluates directly
+    (_SQL_SHW_DOCUMENTS)."""
     docs = _read(spark, sf_dir, "documents")
     a = docs.select(F.col("doc_id").alias("id_a"),
                     F.substring("text", 1, 40).alias("text_a"))
@@ -1033,6 +1044,133 @@ _SQL_HW_EXACT = """
                AS edit_distance
     FROM p
 """
+
+
+# SHW over untruncated targets: lev(q, t[:j]) >= j - |q|, and j = 0 already
+# achieves |q|, so prefixes with j > 2|q| cannot change the minimum.
+_SQL_SHW_DOCUMENTS = """
+    WITH p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.text[1:40] AS ta, b.text AS tb
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CAST(list_min(list_transform(
+                    range(0, least(length(tb), 2 * length(ta)) + 1),
+                    j -> levenshtein(ta, tb[1:j]))) AS BIGINT)
+               AS edit_distance
+    FROM p
+"""
+
+
+def _sql_hw_dp(pair_cte: str, final_select: str) -> str:
+    """Recursive-CTE free-start (HW) Levenshtein DP, untruncated.
+
+    Cells-as-rows formulation: one row per (pair, query position i),
+    one recursion step per target column c.  The intra-column
+    dependency new[i] = min(new[i-1]+1, ...) is resolved with the
+    classic two-pass rewrite: E[i] = min(old[i]+1, old[i-1]+subst)
+    has no intra-column term, and new[i] = i + min(0, min_{k<=i}
+    (E[k]-k)) — a vectorized running window-min instead of a scalar
+    scan.  ``dcol`` exposes D(c) = min over window starts of
+    lev(q, t[..c]) for every column c (c = 0 is the empty window),
+    which is everything HW distance AND the end-location set need.
+    O(|q|·|t|) total work — full document length, no truncation."""
+    return f"""
+    WITH RECURSIVE p AS ({pair_cte}),
+    cells AS (
+        SELECT id_a, id_b, ta, tb, q, unnest(range(0, q + 1)) AS i
+        FROM p),
+    dp AS (
+        SELECT id_a, id_b, ta, tb, q, i, 0 AS c, CAST(i AS BIGINT) AS v
+        FROM cells
+        UNION ALL
+        SELECT id_a, id_b, ta, tb, q, i, c + 1,
+               CASE WHEN i = 0 THEN 0
+                    ELSE i + least(0, min(e - i) OVER
+                           (PARTITION BY id_a ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))
+               END AS v
+        FROM (
+            SELECT id_a, id_b, ta, tb, q, i, c, v,
+                   CASE WHEN i = 0 THEN NULL
+                        ELSE least(v + 1,
+                                   lag(v) OVER (PARTITION BY id_a
+                                                ORDER BY i)
+                                   + CASE WHEN ta[i:i] = tb[c + 1:c + 1]
+                                          THEN 0 ELSE 1 END)
+                   END AS e
+            FROM dp WHERE c < length(tb))),
+    dcol AS (
+        SELECT id_a, id_b, ta, tb, q, c, v AS d
+        FROM dp WHERE i = q)
+    {final_select}
+"""
+
+
+_SQL_HW_DOCUMENTS = _sql_hw_dp(
+    """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.text[10:49] AS ta, b.text AS tb,
+               length(a.text[10:49]) AS q
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""",
+    """
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CAST(min(d) AS BIGINT) AS edit_distance
+    FROM dcol GROUP BY id_a, id_b
+""")
+
+
+# End-location SET + tie-broken first location over the same DP:
+# ends are the columns achieving the best D(c); the reference prepends
+# the empty-window end -1 when best == qlen and the last block has
+# padding (qlen % 64 != 0, edlib.cpp:680-693); first_start is the
+# SMALLEST start achieving best at first_end (the reversed-SHW
+# "last position" rule — probed against kernel.align on 340 random
+# cases), searchable over only the starts within q + best of the end
+# because longer windows cannot reach best.
+_SQL_HW_LOCATIONS_DOCUMENTS = _sql_hw_dp(
+    """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.text[20:44] AS ta, b.text[1:300] AS tb,
+               length(a.text[20:44]) AS q
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE b.doc_id < 100""",
+    """
+    , b1 AS (
+        SELECT id_a, min(d) AS best FROM dcol GROUP BY id_a),
+    ends AS (
+        SELECT d.id_a, d.id_b, any_value(d.ta) AS ta,
+               any_value(d.tb) AS tb, any_value(d.q) AS q, b1.best,
+               min(CASE WHEN d.c >= 1 AND d.d = b1.best
+                        THEN d.c - 1 END) AS min_end,
+               count(*) FILTER (WHERE d.c >= 1 AND d.d = b1.best)
+                   AS n_pos
+        FROM dcol d JOIN b1 USING (id_a)
+        GROUP BY d.id_a, d.id_b, b1.best),
+    loc AS (
+        SELECT id_a, id_b, ta, tb, q, best,
+               n_pos + CASE WHEN best = q AND q % 64 <> 0
+                            THEN 1 ELSE 0 END AS n_locations,
+               CASE WHEN best = q AND q % 64 <> 0 THEN -1
+                    ELSE min_end END AS first_end
+        FROM ends)
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CAST(best AS BIGINT) AS edit_distance,
+           CAST(n_locations AS BIGINT) AS n_locations,
+           CAST(CASE WHEN first_end = -1 THEN 0
+                     ELSE list_min(list_filter(
+                            range(greatest(0, first_end + 1 - (q + best)),
+                                  first_end + 2),
+                            i -> levenshtein(ta, tb[i + 1:first_end + 1])
+                                 = best))
+                END AS BIGINT) AS first_start,
+           CAST(first_end AS BIGINT) AS first_end
+    FROM loc
+""")
 
 
 def equality_align_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1211,7 +1349,11 @@ _SQL_HW_LOCATIONS_EXACT = """
 def hw_locations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HW infix search exposing the full end-location SET (the
     reference returns ALL best end positions, edlib.cpp:657-674) and
-    the reversed-SHW start locations.  Rows-only."""
+    the reversed-SHW start locations.  Oracle-checked: the recursive-
+    CTE DP (_SQL_HW_LOCATIONS_DOCUMENTS) recomputes D(c) for every
+    column, hence the full end set including the -1 empty-window edge,
+    and re-derives first_start as the minimal start achieving the best
+    distance at first_end (the reference's reversed-SHW tie-break)."""
     docs = _read(spark, sf_dir, "documents")
     a = docs.select(F.col("doc_id").alias("id_a"),
                     F.substring("text", 20, 25).alias("text_a"))
@@ -2236,9 +2378,11 @@ def build_oracle_sql():
         "minhash_blocks_documents": _sql_minhash_blocks(),
         "nice_alignment_documents": _SQL_NICE_ALIGNMENT,
         "align_path_documents": _SQL_ALIGN_PATH,
-        # remaining rows-only (3): untruncated hw/shw_distance_documents
-        # + hw_locations_documents (the min-over-substrings oracle is
-        # quadratic in untruncated lengths; their *_exact twins are
-        # oracle-green) — each pinned by the compiled-reference parity
-        # suite instead
+        "shw_distance_documents": _SQL_SHW_DOCUMENTS,
+        "hw_distance_documents": _SQL_HW_DOCUMENTS,
+        "hw_locations_documents": _SQL_HW_LOCATIONS_DOCUMENTS,
+        # every contract query is oracle-backed: the untruncated HW
+        # queries run the full free-start Levenshtein DP as a recursive
+        # CTE (no substring expansion), SHW uses the 2|q| prefix bound,
+        # and CIGAR queries use replay certificates.
     }
