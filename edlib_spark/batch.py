@@ -20,15 +20,20 @@ Key properties:
     Spark partitions by length (see pipeline.scoring).
 
 The reference's per-pair Ukkonen block banding (edlib.cpp:559-562,
-751-755) is approximated at CHUNK granularity: truly per-pair bands
-would diverge the vector lanes, so instead pairs are chunk-grouped by
-geometric k-magnitude (plus block count and target length) and each
-chunk runs a shared band sized at its kmax — within 2x of every
-member's own band, so a large-k outlier cannot widen the band for
-unrelated pairs.  The k < |tlen-qlen| shortcut is lifted to a Catalyst
-predicate before the UDF (edlib.cpp:744-747), and the column-level
-early exit covers the rest.  (The cffi scan has true per-pair banding
-and takes all-BMP batches; this path is the fallback.)
+751-755) is realized at VECTOR granularity: in a lockstep vectorized
+scan every lane executes the same blocks, so the tightest possible
+band is the union of the per-pair bands — which is exactly what each
+column computes.  NW uses the per-pair feasibility corridor |d| +
+|(qlen-tlen) - d| <= k (d = diagonal offset; the reference's initial
+last-block formula per column), semi-global a +-k window; both use a
+per-pair k that is tightened in-flight from the band-edge score
+(edlib.cpp:790-794 / 663-669) and drop out of the union as pairs
+finish or die.  Pairs are additionally chunk-grouped by geometric
+k-magnitude so a large-k outlier lands in its own chunk instead of
+widening the union for unrelated pairs.  The k < |tlen-qlen| shortcut
+is lifted to a Catalyst predicate before the UDF (edlib.cpp:744-747).
+(The cffi scan has scalar per-pair banding and takes all-BMP batches;
+this path is the fallback.)
 """
 
 from __future__ import annotations
@@ -321,11 +326,20 @@ def _chunk_distance(sub, q_codes, t_codes, q_lens, t_lens, k_arr,
 
     A *shared* Ukkonen band in block space is applied across the whole
     chunk: any cell with value <= k satisfies |row - col| <= k (NW/SHW;
-    for HW only the upper bound holds because starts are free), so with
-    kmax = max per-pair k only blocks intersecting [j - kmax, j + kmax]
-    are computed each column.  Blocks entering the band from below are
-    initialized to boundary state exactly like the reference's band
-    extension (edlib.cpp:803-808).
+    for HW only the upper bound holds because starts are free), so only
+    blocks intersecting [j - k, j + k] are computed each column.  The
+    band k is DYNAMIC and per-pair (the vector analogue of the
+    reference's per-pair banding): each pair carries kdyn, tightened
+    in-flight — NW by the bottom-row upper bound kdyn = min(kdyn,
+    lrow + remaining_target) (reference edlib.cpp:790-794), semi-global
+    by the best score seen so far (edlib.cpp:663-669) — and each column
+    sizes the shared band at max(kdyn) over still-ALIVE pairs.  In a
+    lockstep vectorized scan every lane executes the same blocks, so
+    the union of the per-pair bands is the per-pair-optimal band; as
+    pairs tighten, finish, or die, the union narrows.  Blocks entering
+    the band from below (including re-entry after the band narrowed
+    past them) are initialized to boundary state exactly like the
+    reference's band extension (edlib.cpp:803-808).
     """
     n = len(sub)
     qlen = q_lens[sub]
@@ -372,8 +386,17 @@ def _chunk_distance(sub, q_codes, t_codes, q_lens, t_lens, k_arr,
     ones_u = np.ones(n, dtype=np.uint64)
     zeros_u = np.zeros(n, dtype=np.uint64)
 
-    kmax = int(kk.max())
-    cur_blast = min(b - 1, kmax >> 6)  # blocks [0..cur_blast] initialized
+    kdyn = kk.astype(np.int64).copy()  # per-pair dynamic band bound
+    top_valid = b - 1  # initial state is valid boundary state everywhere
+    # NW corridor precomputation: a cell at diagonal offset d = row - col
+    # lies on a path of cost <= k only if |d| + |(qlen-tlen) - d| <= k
+    # (minimum indels to pass through it and still reach the corner) —
+    # the reference's initial last-block formula (edlib.cpp:751-755)
+    # applied per pair per column.
+    dlen = qlen - tlen
+    absd = np.abs(dlen)
+    maxd0 = np.maximum(dlen, 0)
+    mind0 = np.minimum(dlen, 0)
 
     lo = 0  # pairs [0:lo) have tlen <= j (done); tlen is sorted ascending
     for j in range(max_t):
@@ -385,18 +408,33 @@ def _chunk_distance(sub, q_codes, t_codes, q_lens, t_lens, k_arr,
             break
         full = bool(act.all())
 
-        blast = min(b - 1, (j + kmax) >> 6)
-        bfirst = 0 if mode == "HW" else max(0, (j - kmax) >> 6)
-        if blast > cur_blast:  # band grew downward: boundary-state entry.
+        cur_kmax = int(kdyn[sl][act].max())
+        if mode == "NW":
+            # per-pair feasibility corridor, unioned across alive lanes
+            # (a lockstep vector scan must compute the union anyway, so
+            # this IS per-pair banding at vector granularity)
+            halfk = np.maximum(kdyn[sl] - absd[sl], 0) >> 1
+            hi_blk = np.minimum(b_last[sl], (j + maxd0[sl] + halfk) >> 6)
+            lo_blk = np.maximum(j + mind0[sl] - halfk, 0) >> 6
+            blast = int(hi_blk[act].max())
+            bfirst = int(lo_blk[act].min())
+        else:
+            # semi-global cells only lower-bound by |row - col| (free
+            # starts/ends), so the band stays a +-k window
+            blast = min(b - 1, (j + cur_kmax) >> 6)
+            bfirst = 0 if mode == "HW" else max(0, (j - cur_kmax) >> 6)
+        if blast > top_valid:  # band grew downward: boundary-state entry.
             # The entering block gets P=all-ones (each cell +1 below the
             # one above) anchored at the block above's previous-column
             # bottom value — the reference's band-extension state
             # (edlib.cpp:803-808); the normal loop then advances it.
-            for nb in range(cur_blast + 1, blast + 1):
+            # Re-entry after the band narrowed past a block takes the
+            # same path: its stale state is simply overwritten.
+            for nb in range(top_valid + 1, blast + 1):
                 pv[nb] = _UALL
                 mv[nb] = np.uint64(0)
                 score[nb] = score[nb - 1] + WORD
-            cur_blast = blast
+        top_valid = blast
 
         eq_t = np.ascontiguousarray(
             peq[rows[sl], tpad[sl, j], bfirst:blast + 1].T)  # (nblocks, m)
@@ -430,6 +468,26 @@ def _chunk_distance(sub, q_codes, t_codes, q_lens, t_lens, k_arr,
                 hpos = np.where(act, hp, np.uint64(0))
                 hneg = np.where(act, hm, np.uint64(0))
 
+        # column-level in-flight k tightening from the band-edge block
+        # (reference edlib.cpp:790-794, done every column regardless of
+        # whether the band has reached the pair's bottom row yet): the
+        # value at the band's bottom row upper-bounds the answer via a
+        # diagonal walk (NW: to the corner, cost <= max(remaining
+        # target, remaining query); semi-global: straight down this
+        # column).  In-band values only ever overestimate the true cell,
+        # and below-bottom padding rows carry a bottom value from <= W
+        # columns back, so the generalized +pad term keeps the bound
+        # sound for queries padded up to the bucket width.
+        idx = rows[sl]
+        sb = score[blast, idx]
+        rem_q = qlen[sl] - (blast + 1) * WORD  # query rows below band edge
+        rem_t = tlen[sl] - 1 - j
+        if mode == "NW":
+            ebound = sb + np.maximum(rem_t, rem_q) + np.maximum(-rem_q, 0)
+        else:
+            ebound = sb + np.maximum(rem_q, 0)
+        kdyn[sl] = np.where(act, np.minimum(kdyn[sl], ebound), kdyn[sl])
+
         # per-pair bottom-row readout: valid once the band reaches the
         # pair's true bottom block
         bl_i = b_last[sl]
@@ -439,37 +497,55 @@ def _chunk_distance(sub, q_codes, t_codes, q_lens, t_lens, k_arr,
         valid = (bl_i <= blast) & (bl_i >= bfirst)
         if not valid.any():
             continue
-        idx = rows[sl]
         last_p = pv[bl_i, idx] & top_w[sl]
         last_m = mv[bl_i, idx] & top_w[sl]
         lrow = score[bl_i, idx] - _popcnt(last_p) + _popcnt(last_m)
 
+        remaining = tlen[sl] - 1 - j
         if mode == "NW":
             fin = act & (tlen[sl] == j + 1)
             if fin.any():
-                got = np.where(valid & (lrow <= kk[sl]), lrow, -1)
+                # Exactness is per pair with corridor banding: a value
+                # is exact iff every path of that cost fits the pair's
+                # own corridor, i.e. lrow <= kdyn (<= kk always).  If
+                # lrow > kdyn then d > kdyn (else the optimal path was
+                # in the corridor and lrow would equal it), and kdyn <
+                # kk only ever holds with d <= kdyn — so -1 is correct.
+                got = np.where(valid & (lrow <= kdyn[sl]), lrow, -1)
                 res[sl] = np.where(fin, got, res[sl])
                 alive[sl] &= ~fin
                 act = alive[sl]
             # k-bounded early exit: along the last row the score changes
             # by at most 1 per column, so a pair whose last-row value
             # cannot come back under k is dead.  Only trust lrow when it
-            # is <= kmax: above the shared band it may be a clamped
-            # overestimate (Ukkonen invariant).
-            remaining = tlen[sl] - 1 - j
-            dead = act & valid & (lrow <= kmax) & (lrow - remaining > kk[sl])
+            # is <= kdyn: outside the pair's corridor it may be a
+            # clamped overestimate (Ukkonen invariant).
+            dead = act & valid & (lrow <= kdyn[sl]) \
+                & (lrow - remaining > kk[sl])
             if dead.any():
                 alive[sl] &= ~dead
+            # in-flight k tightening (edlib.cpp:790-794): the final
+            # distance is at most lrow + remaining (walk the bottom
+            # row), and in-band values only ever overestimate, so the
+            # bound is sound even above cur_kmax.
+            tgt = act & valid
+            if tgt.any():
+                kdyn[sl] = np.where(tgt, np.minimum(kdyn[sl],
+                                                    lrow + remaining),
+                                    kdyn[sl])
         else:
             upd = act & valid & (lrow < best[sl])
             best[sl] = np.where(upd, lrow, best[sl])
+            # best-score k tightening (edlib.cpp:663-669): any recorded
+            # column value (even an overestimate) upper-bounds the
+            # min-over-columns answer.
+            kdyn[sl] = np.minimum(kdyn[sl], best[sl])
             # Freeze pairs whose min-over-columns can no longer improve:
             # the last-row value moves by at most +-1 per column, so the
             # best future value is lrow - remaining.  Also freeze once the
             # recorded best is provably out of reach of k.
-            remaining = tlen[sl] - 1 - j
             floor = lrow - remaining
-            exact = valid & (lrow <= kmax)  # above band: overestimate
+            exact = valid & (lrow <= cur_kmax)  # above band: overestimate
             frozen = act & ((exact & (floor >= best[sl])) | (best[sl] == 0))
             dead = act & exact & (floor > kk[sl]) & (best[sl] > kk[sl])
             if frozen.any() or dead.any():
