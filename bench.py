@@ -306,10 +306,12 @@ Target: >= 0.8 scaling efficiency N -> 4N.  The shared host's
 deliverable silicon fluctuates between samples, so judge the job by
 `job / ceiling` (1.0 = the pipeline scales exactly as well as the
 hardware allowed in that sample).  Observed across repeated runs of
-this harness: 2 -> 8 job efficiency 0.74-0.98 (>= 0.8 in uncontended
-samples, peaking at 0.98) at 0.86-1.06x the simultaneously measured
-ceiling; 8 -> 32 job at 0.59-1.29x the ceiling (> 1 because the job
-overlaps I/O with compute, which the pure-CPU ceiling cannot).
+this harness: 2 -> 8 job efficiency 0.58-0.98 (>= 0.8 in uncontended
+samples, peaking at 0.98; the 0.58 outlier came from a sample whose
+2-core phase ran on visibly faster silicon than its 8-core phase) at
+0.62-1.06x the simultaneously measured ceiling; 8 -> 32 job at
+0.59-1.60x the ceiling (> 1 because the job overlaps I/O with
+compute, which the pure-CPU ceiling cannot).
 
 Headline per-query seconds at sf={results['sf']}: see BENCH_r*.json.
 """
