@@ -230,6 +230,7 @@ def main():
     if do_scaling:
         scaling = {"pairs": []}
         per_cores: dict[int, float] = {}
+        ceiling: dict[int, float] = {}
         for ncores in (2, 8, 32):
             spark = run_at(f"local[{ncores}]", 64)
             # warm: JVM + python workers + parquet footer cache,
@@ -244,8 +245,14 @@ def main():
                 "cores": ncores, "sec": round(secs, 2),
                 "pairs_per_sec": round(n / secs, 1)}
             spark.stop()
-        # raw-CPU ceiling at the same process counts (Spark-free)
-        ceiling = {nc: host_cpu_ceiling(nc) for nc in (2, 8, 32)}
+            # raw-CPU ceiling at the same process count, measured
+            # ADJACENT to this level's Spark runs: the shared host's
+            # deliverable silicon drifts within a single harness run,
+            # and a ceiling sampled only at the end mis-stamps levels
+            # measured minutes earlier (the documented 0.58-efficiency
+            # outlier was a 2-core phase on faster silicon than its
+            # 8-core phase — per-level stamps make that visible).
+            ceiling[ncores] = host_cpu_ceiling(ncores)
         scaling["host_cpu_units_per_sec"] = {
             str(nc): round(v, 2) for nc, v in ceiling.items()}
         for lo, hi in ((2, 8), (8, 32)):
@@ -290,9 +297,11 @@ vCPUs, but a raw-CPU microbenchmark (pure numpy uint64 bitops in N
 independent processes, no Spark, no I/O) shows the host delivers far
 less than 32 cores of silicon — parallel throughput saturates near
 ~10-12 effective cores.  The "host ceiling" column below is that
-Spark-free attainable scaling; the honest job metric is
-`job_vs_ceiling` = job efficiency / host-ceiling efficiency (1.0 means
-the pipeline scales as well as the hardware allows).
+Spark-free attainable scaling, sampled ADJACENT to each level's Spark
+runs so mid-harness silicon drift stamps the level it actually hit;
+the honest job metric is `job_vs_ceiling` = job efficiency /
+host-ceiling efficiency (1.0 means the pipeline scales as well as the
+hardware allows).
 
 | config | cores | wall sec | scored pairs/sec | host raw-CPU units/s |
 |---|---|---|---|---|
