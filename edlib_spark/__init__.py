@@ -13,6 +13,8 @@ from .functions.alignment import (align_expr, edit_distance,
                                   nice_alignment, norm_distance)
 from .kernel import align
 
+__version__ = "0.4.0"
+
 __all__ = [
     "align",
     "align_expr",
@@ -20,4 +22,5 @@ __all__ = [
     "edit_distance",
     "nice_alignment",
     "norm_distance",
+    "__version__",
 ]

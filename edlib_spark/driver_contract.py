@@ -1400,10 +1400,24 @@ def _sql_cigar_replay(pairs_sql: str, side_path: str,
     compiled-reference parity suite pins byte-exactly
     (tests/test_reference_parity.py).
 
-    `pairs_sql` must yield pairs(id_a, id_b, text_a, text_b);
+    `pairs_sql` must yield pairs(id_a, id_b, text_a, text_b, lead_ctx)
+    where `lead_ctx` is the number of target characters BEFORE the
+    aligned window (0 for NW, where the window is the whole target);
     `final_select` projects from pairs p, side table c, and the
-    per-pair certificate/rendering aggregate ch (runs_ok, q_used,
-    t_used, cost, query_aligned, matched_aligned, target_aligned)."""
+    per-pair certificate/rendering aggregate ch (runs_ok, first_op,
+    q_used, t_used, cost, query_aligned, matched_aligned,
+    target_aligned).
+
+    Besides validity+optimality, the certificate pins the reference's
+    path-preference rule (test/runTests.cpp:636-639): an alignment may
+    not OPEN with an insertion while target context precedes the
+    window (lead_ctx > 0), because extending the window one char left
+    turns that insertion into an equal-cost mismatch — the reference
+    always prefers the mismatch.  For the NW contract queries
+    lead_ctx = 0 makes the clause structurally satisfied (NW has no
+    free start), so the rule is load-bearing for any free-start
+    (HW-style) pairs routed through this certificate — exercised by
+    tests/test_cigar_oracle.py::test_leading_insertion_preference."""
     return f"""
     WITH pairs AS ({pairs_sql}),
     pc AS (
@@ -1452,6 +1466,7 @@ def _sql_cigar_replay(pairs_sql: str, side_path: str,
                 WHEN length(qs) <> rl OR length(ts) <> rl THEN FALSE
                 WHEN op = '=' THEN qs = ts
                 ELSE mismatches(qs, ts) = rl END) AS runs_ok,
+            arg_min(op, idx) AS first_op,
             SUM(CASE WHEN op IN ('=','X','I') THEN rl ELSE 0 END) AS q_used,
             SUM(CASE WHEN op IN ('=','X','D') THEN rl ELSE 0 END) AS t_used,
             SUM(CASE WHEN op IN ('X','I','D') THEN rl ELSE 0 END) AS cost,
@@ -1466,16 +1481,20 @@ def _sql_cigar_replay(pairs_sql: str, side_path: str,
 
 # The certificate condition shared by both CIGAR oracles (see
 # _sql_cigar_replay): replayed runs valid, both inputs fully consumed,
-# cost optimal.
+# cost optimal, and the reference's start-preference rule (no opening
+# insertion while target context precedes the window,
+# test/runTests.cpp:636-639 — structurally satisfied when lead_ctx=0).
 _SQL_CIGAR_VALID = """ch.runs_ok AND ch.q_used = length(p.text_a)
                  AND ch.t_used = length(p.text_b)
-                 AND ch.cost = levenshtein(p.text_a, p.text_b)"""
+                 AND ch.cost = levenshtein(p.text_a, p.text_b)
+                 AND NOT (ch.first_op = 'I' AND p.lead_ctx > 0)"""
 
 _SQL_NICE_PAIRS = """
         SELECT CAST(a.doc_id AS BIGINT) AS id_a,
                CAST(b.doc_id AS BIGINT) AS id_b,
                substr(a.text, 1, 80) AS text_a,
-               substr(b.text, 1, 80) AS text_b
+               substr(b.text, 1, 80) AS text_b,
+               CAST(0 AS BIGINT) AS lead_ctx
         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         WHERE b.doc_id < 30
 """
@@ -1492,7 +1511,8 @@ _SQL_NICE_ALIGNMENT = _sql_cigar_replay(
 _SQL_PATH_PAIRS = """
         SELECT CAST(a.doc_id AS BIGINT) AS id_a,
                CAST(b.doc_id AS BIGINT) AS id_b,
-               a.text AS text_a, b.text AS text_b
+               a.text AS text_a, b.text AS text_b,
+               CAST(0 AS BIGINT) AS lead_ctx
         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         WHERE b.doc_id < 50
 """

@@ -22,8 +22,10 @@ PAIRS = [
 
 
 def _run(tmp_path, rows):
-    """rows: (id_a, id_b, text_a, text_b, cigar). Returns oracle rows
-    keyed by id_a."""
+    """rows: (id_a, id_b, text_a, text_b, cigar[, lead_ctx]) where
+    lead_ctx (default 0) is the count of target chars before the
+    aligned window — NW rows are 0; HW-style rows exercise the
+    start-preference rule.  Returns oracle rows keyed by id_a."""
     side = tmp_path / "side"
     side.mkdir(exist_ok=True)
     pq.write_table(pa.table({
@@ -33,11 +35,12 @@ def _run(tmp_path, rows):
     }), side / "part-0.parquet")
     con = duckdb.connect()
     con.execute("CREATE TABLE tp(id_a BIGINT, id_b BIGINT,"
-                " text_a VARCHAR, text_b VARCHAR)")
-    con.executemany("INSERT INTO tp VALUES (?,?,?,?)",
-                    [r[:4] for r in rows])
+                " text_a VARCHAR, text_b VARCHAR, lead_ctx BIGINT)")
+    con.executemany("INSERT INTO tp VALUES (?,?,?,?,?)",
+                    [r[:4] + (r[5] if len(r) > 5 else 0,) for r in rows])
     sql = _sql_cigar_replay(
-        "SELECT id_a, id_b, text_a, text_b FROM tp", str(side), f"""
+        "SELECT id_a, id_b, text_a, text_b, lead_ctx FROM tp",
+        str(side), f"""
         SELECT p.id_a,
                CASE WHEN {_SQL_CIGAR_VALID}
                     THEN c.cigar ELSE '!invalid' END AS cigar,
@@ -80,3 +83,24 @@ def test_valid_cigar_passes(tmp_path):
     got = _run(tmp_path, [(0, 1, "hello", "hxllo", "1=1X3=")])
     assert got[0][1] == "1=1X3="
     assert got[0][2:] == ("hello", "|.|||", "hxllo")
+
+
+def test_leading_insertion_preference(tmp_path):
+    """The reference rejects alignments that OPEN with an insertion
+    while target context precedes the window (runTests.cpp:636-639:
+    extending the window one char left turns that insertion into an
+    equal-cost mismatch, which the reference prefers).  text_b here is
+    the aligned target WINDOW; lead_ctx counts the target chars the
+    free-start mode skipped before it."""
+    # HW-style: window "ab" starts at target offset 1 (lead_ctx=1);
+    # "1I2=" is valid and optimal for the window, but the reference
+    # would have started one char earlier with "1X2=" — flagged.
+    got = _run(tmp_path, [(0, 1, "aab", "ab", "1I2=", 1)])
+    assert got[0][1] == "!invalid"
+    # The same path with no preceding context (NW-like) is acceptable.
+    got = _run(tmp_path, [(0, 1, "aab", "ab", "1I2=", 0)])
+    assert got[0][1] == "1I2="
+    # The preference-correct alternative (open with the mismatch by
+    # widening the window left) passes regardless of context depth.
+    got = _run(tmp_path, [(0, 1, "aab", "zab", "1X2=", 0)])
+    assert got[0][1] == "1X2="

@@ -1,36 +1,65 @@
-"""The ``spark-submit --py-files`` ship path: build dist/edlib_spark.zip
-and prove the package imports AND computes from the zip alone.
+"""Ship paths: dist/edlib_spark.zip (``spark-submit --py-files``) and
+the pip wheel — build each artifact and prove the package imports AND
+computes from the artifact alone.
 
 This is how executors receive the engine on a real cluster (the north
-rule's ship criterion): the zip goes on every executor's sys.path, so
-every module must be importable without the repo checkout present.  The
-test runs a subprocess whose cwd and sys.path contain ONLY the zip (no
-/root/repo), imports the kernel and the batch path through zipimport,
-and checks a known alignment — including the batch kernel, whose
-optional cffi build writes to ~/.cache (never into the package dir, so
-it is zip-safe) and falls back to numpy when no compiler exists.
+rule's ship criterion): the zip goes on every executor's sys.path (or
+the wheel is baked into the cluster image), so every module must be
+importable without the repo checkout present.  Each test runs a
+subprocess whose cwd and sys.path contain ONLY the artifact (no
+/root/repo), imports the kernel and the batch path, and checks known
+alignments — including the batch kernel, whose optional cffi build
+writes to ~/.cache (never into the package dir, so it is zip-safe) and
+falls back to numpy when no compiler exists.
 """
 
 import os
 import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.package import build  # noqa: E402
+def _tools():
+    # Imported lazily so this module does not mutate sys.path for the
+    # whole pytest session (round-3 advice: a module-level insert could
+    # shadow an installed edlib_spark/tools in other tests).
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from tools import package
+    return package
 
+
+# The probe asserts distances exactly but ROUND-TRIPS the CIGAR
+# (replays it against the inputs) instead of pinning one optimal path:
+# byte-exact path tie-breaking is the reference-parity suite's job
+# (tests/test_reference_parity.py), not the packaging test's.
 _PROBE = r"""
+import re
 import sys
-zip_path = sys.argv[1]
-# only the zip (plus stdlib/site-packages for numpy) — no repo checkout
-sys.path.insert(0, zip_path)
+art_path = sys.argv[1]
+# only the artifact (plus stdlib/site-packages for numpy) — no checkout
+sys.path.insert(0, art_path)
 import edlib_spark
-assert zip_path in edlib_spark.__file__, edlib_spark.__file__
+assert art_path in edlib_spark.__file__, edlib_spark.__file__
 
 from edlib_spark.kernel import align
-r = align("telephone", "elephant", mode="NW", task="path")
+q, t = "telephone", "elephant"
+r = align(q, t, mode="NW", task="path")
 assert r["editDistance"] == 3, r
-assert r["cigar"] == "1I5=1X1=1X", r
+qi = ti = cost = 0
+for ln, op in re.findall(r"(\d+)([=XID])", r["cigar"]):
+    ln = int(ln)
+    if op == "=":
+        assert q[qi:qi + ln] == t[ti:ti + ln], r["cigar"]
+        qi += ln; ti += ln
+    elif op == "X":
+        assert all(q[qi + i] != t[ti + i] for i in range(ln)), r["cigar"]
+        qi += ln; ti += ln; cost += ln
+    elif op == "I":
+        qi += ln; cost += ln
+    else:
+        ti += ln; cost += ln
+assert (qi, ti, cost) == (len(q), len(t), 3), (r["cigar"], qi, ti, cost)
 
 from edlib_spark.batch import batch_edit_distance
 d = batch_edit_distance(["kitten", "abc", ""], ["sitting", "abc", "xy"])
@@ -38,23 +67,55 @@ assert list(d) == [3, 0, 2], d
 
 from edlib_spark.oracle import simple_edit_distance
 assert simple_edit_distance("kitten", "sitting", mode="NW")[0] == 3
-print("ZIP_OK")
+print("ART_OK")
 """
 
 
-def test_zip_imports_and_computes(tmp_path):
-    out = build(str(tmp_path / "edlib_spark.zip"))
+def _probe(art_path: str, cwd: str) -> None:
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     proc = subprocess.run(
-        [sys.executable, "-c", _PROBE, out],
-        cwd=str(tmp_path), env=env, capture_output=True, text=True,
-        timeout=300)
+        [sys.executable, "-c", _PROBE, art_path],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "ZIP_OK" in proc.stdout
+    assert "ART_OK" in proc.stdout
+
+
+def test_zip_imports_and_computes(tmp_path):
+    out = _tools().build(str(tmp_path / "edlib_spark.zip"))
+    _probe(out, str(tmp_path))
 
 
 def test_zip_is_reproducible(tmp_path):
-    a = build(str(tmp_path / "a.zip"))
-    b = build(str(tmp_path / "b.zip"))
+    pkg = _tools()
+    a = pkg.build(str(tmp_path / "a.zip"))
+    b = pkg.build(str(tmp_path / "b.zip"))
     with open(a, "rb") as fa, open(b, "rb") as fb:
         assert fa.read() == fb.read()
+
+
+def test_wheel_pip_installs_and_computes(tmp_path):
+    """pip must accept the wheel offline (hash-checked RECORD included)
+    and the installed tree must compute — the cluster-image install
+    path, complementing the --py-files zip path."""
+    whl = _tools().build_wheel(str(tmp_path))
+    target = tmp_path / "site"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [sys.executable, "-m", "pip", "install", "--quiet", "--no-index",
+         "--no-deps", "--target", str(target), whl],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    _probe(str(target), str(tmp_path))
+
+
+def test_wheel_is_reproducible(tmp_path):
+    pkg = _tools()
+    a = pkg.build_wheel(str(tmp_path / "a"))
+    b = pkg.build_wheel(str(tmp_path / "b"))
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        assert fa.read() == fb.read()
+
+
+def test_wheel_version_in_sync(tmp_path):
+    import edlib_spark
+    assert _tools().VERSION == edlib_spark.__version__

@@ -210,3 +210,51 @@ def test_top_n_best_caps_n(spark):
                             "text_b string")
     with _pytest.raises(ValueError, match="MAX_TOP_N"):
         top_n_best(pairs, MAX_TOP_N + 1)
+
+
+def test_edit_distance_nonbmp_spark_lane_handoff(spark):
+    """Astral-plane text through the REAL Spark scorer surface: the C
+    lane returns its UNSUPPORTED sentinel for non-BMP codepoints and
+    the batch dispatcher re-scores exactly those pairs on the numpy
+    lane.  test_batch.py pins that handoff at the batch API; this pins
+    it at the DataFrame level (edit_distance UDF, mixed BMP/astral
+    rows sharing one Arrow batch), NW and HW, unbounded and tight k,
+    against the exact kernel per pair."""
+    import numpy as np
+
+    from edlib_spark import kernel
+
+    rng = np.random.default_rng(7)
+    alpha = "acg\U0001F600\U0001F680"  # BMP letters + 2 astral symbols
+    rows = []
+    for i in range(60):
+        if i % 4 == 0:  # pure-BMP rows keep the native lane live in
+            src = "acg"  # the same Arrow batches as the astral rows
+        else:
+            src = alpha
+        q = "".join(src[j] for j in rng.integers(
+            0, len(src), rng.integers(0, 80)))
+        if i % 3:
+            t = list(q)
+            for p in rng.integers(0, max(len(q), 1), 4):
+                if q:
+                    t[p] = alpha[int(rng.integers(0, len(alpha)))]
+            t = "".join(t)
+        else:
+            t = "".join(src[j] for j in rng.integers(
+                0, len(src), rng.integers(0, 100)))
+        rows.append((i, q, t))
+    df = spark.createDataFrame(rows, ["i", "q", "t"])
+    got = {r["i"]: (r["d_nw"], r["d_hw"], r["d_nw_k"]) for r in
+           df.withColumn("d_nw", edit_distance(F.col("q"), F.col("t"),
+                                               "NW", -1))
+             .withColumn("d_hw", edit_distance(F.col("q"), F.col("t"),
+                                               "HW", -1))
+             .withColumn("d_nw_k", edit_distance(F.col("q"), F.col("t"),
+                                                 "NW", 5))
+             .collect()}
+    for i, q, t in rows:
+        want = (kernel.align(q, t, mode="NW")["editDistance"],
+                kernel.align(q, t, mode="HW")["editDistance"],
+                kernel.align(q, t, mode="NW", k=5)["editDistance"])
+        assert got[i] == want, (i, q, t)
