@@ -38,13 +38,23 @@ def char_ngram_set(text: Column, n: int = 5) -> Column:
 def minhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", num_hashes: int = 32,
                           bands: int = 8, ngram: int = 5,
-                          tau_pct: int = 80) -> DataFrame:
+                          tau_pct: int = 80,
+                          hot_block_threshold: int = 256,
+                          salt_group_size: int = 128) -> DataFrame:
     """(id_a, id_b, inter_count, union_count) for pairs whose exact
     char-``ngram`` Jaccard >= tau_pct/100, candidates proposed by
     MinHash LSH (``bands`` bands of num_hashes/bands rows).
 
     Integer inter/union counts (not a float Jaccard) keep the result
-    exactly comparable across engines."""
+    exactly comparable across engines.
+
+    ``hot_block_threshold`` / ``salt_group_size`` forward to
+    operators.pairs.candidate_pairs: boilerplate-heavy web corpora
+    produce LSH buckets with millions of members (one shared template
+    -> one band key), and triangular salting is what keeps that
+    bucket's quadratic fan-out bounded per task.  Output is invariant
+    to the salting (tests/test_dedup.py pins this on a planted hot
+    block)."""
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
     # a small input may arrive as one parquet split; the per-doc gram
@@ -54,7 +64,8 @@ def minhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
                         F.col(text_col).alias("full_text"))
     blocks = minhash_blocks(canon, num_hashes=num_hashes, bands=bands,
                             ngram=ngram)
-    pairs = candidate_pairs(blocks)
+    pairs = candidate_pairs(blocks, hot_block_threshold=hot_block_threshold,
+                            salt_group_size=salt_group_size)
 
     grams = docs.select(F.col(id_col).cast("string").alias("conv_id"),
                         char_ngram_set(F.col(text_col), ngram).alias("g"))

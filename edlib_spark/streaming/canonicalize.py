@@ -11,6 +11,23 @@ for conversations whose marker never shows (late/lost data).
 This is the streaming twin of operators.canonicalize: same separator,
 same ordering invariant (per-turn text equality under stable
 (conv_id, turn_idx) ordering), state bounded per conversation.
+
+Production state-store note: the default HDFSBackedStateStoreProvider
+keeps every state row on the executor HEAP (plus checkpoint copies).
+At deployment scale — millions of in-flight conversations, each
+holding its accumulated turns — configure the RocksDB provider so
+state lives off-heap on local disk with incremental checkpointing:
+
+    spark.sql.streaming.stateStore.providerClass =
+        org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+    spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled = true
+
+Both stateful operators here (applyInPandasWithState and
+dropDuplicatesWithinWatermark in scorer.dedup_pair_stream) run
+unchanged on either provider; the tests use the default provider at
+test-scale state.  Timeout/tombstone behavior under a continuous
+processing-time trigger is soaked in
+tests/test_streaming.py::test_stream_canonicalize_continuous_soak.
 """
 
 from __future__ import annotations

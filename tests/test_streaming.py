@@ -299,3 +299,135 @@ def test_stream_canonicalize_feeds_scorer_end_to_end(spark, tmp_path):
                           k=int(-(-0.9 * max(len(texts[ia]),
                                              len(texts[ib])) // 1)))
         assert d == want["editDistance"], (ia, ib)
+
+
+def test_stream_canonicalize_continuous_soak(spark, tmp_path):
+    """Continuous-mode soak (round-3 verdict item): a REAL
+    ProcessingTimeTimeout under a processing-time trigger — not
+    availableNow — across >= 3 micro-batches.  Asserts (a) end-marker
+    and timeout-flush emission both happen while the query keeps
+    running, (b) emission stays at-most-once per conv_id (the f2
+    straggler for conv A is swallowed by its tombstone), and (c)
+    tombstones EXPIRE: the stateful operator's numRowsTotal returns to
+    zero, i.e. state is bounded in a continuously-running deployment,
+    not just per-run."""
+    import time
+
+    from edlib_spark.operators.canonicalize import TURN_SEP
+    from edlib_spark.streaming.canonicalize import stream_canonicalize
+
+    src = tmp_path / "turns_soak"
+    src.mkdir()
+    schema_str = "conv_id string, turn_idx int, role string, text string"
+    # f1: A complete; B orphan (timeout path)
+    spark.createDataFrame(
+        [("A", 0, "user", "a0"), ("A", 1, "assistant", "a1"),
+         ("A", -1, "end", None), ("B", 0, "user", "b0")],
+        schema_str).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    # f2: straggler for already-emitted A + C complete
+    spark.createDataFrame(
+        [("A", 2, "user", "late"), ("C", 0, "user", "c0"),
+         ("C", -1, "end", None)],
+        schema_str).coalesce(1).write.parquet(str(src / "f2.parquet"))
+    # f3: D orphan (second timeout path, later batch)
+    spark.createDataFrame(
+        [("D", 0, "user", "d0")],
+        schema_str).coalesce(1).write.parquet(str(src / "f3.parquet"))
+
+    schema = spark.read.parquet(str(src / "f1.parquet")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    out = stream_canonicalize(stream, end_role="end", timeout_ms=1500)
+    q = (out.writeStream.format("memory").queryName("canon_soak")
+         .outputMode("append")
+         .trigger(processingTime="300 milliseconds").start())
+    try:
+        deadline = time.time() + 150
+        rows, state_rows = [], -1
+        while time.time() < deadline:
+            rows = spark.sql("select * from canon_soak").collect()
+            prog = q.lastProgress
+            if prog and prog["stateOperators"]:
+                state_rows = prog["stateOperators"][0]["numRowsTotal"]
+            if len(rows) >= 4 and state_rows == 0:
+                break
+            time.sleep(0.5)
+        n_batches = q.lastProgress["batchId"] if q.lastProgress else 0
+    finally:
+        q.stop()
+
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    assert set(by_conv) == {"A", "B", "C", "D"}
+    assert all(len(v) == 1 for v in by_conv.values()), by_conv
+    assert by_conv["A"][0].complete == "end"
+    assert by_conv["A"][0].full_text == "a0" + TURN_SEP + "a1"  # no 'late'
+    assert by_conv["B"][0].complete == "timeout"
+    assert by_conv["C"][0].complete == "end"
+    assert by_conv["D"][0].complete == "timeout"
+    # tombstones expired -> state fully drained while the query ran
+    assert state_rows == 0, state_rows
+    assert n_batches >= 3, n_batches
+
+
+def test_dedup_pair_stream_continuous_state_eviction(spark, tmp_path):
+    """dedup_pair_stream under a processing-time trigger across >= 3
+    micro-batches: re-delivered pairs within the watermark are
+    swallowed, and dedup state is EVICTED once the watermark passes
+    (numRowsTotal drops to the still-covered suffix) — the
+    bounded-state contract of a continuously-running deployment."""
+    import time
+    from datetime import datetime
+
+    from edlib_spark.streaming.scorer import dedup_pair_stream
+
+    src = tmp_path / "pairs_soak"
+    src.mkdir()
+    schema_str = "id_a string, id_b string, ts timestamp"
+
+    def ts(s):
+        return datetime(2026, 1, 1, 10, 0, s)
+
+    spark.createDataFrame(
+        [("a", "b", ts(0)), ("a", "c", ts(1))],
+        schema_str).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    # duplicate (a,b) within the watermark + a fresh pair
+    spark.createDataFrame(
+        [("a", "b", ts(2)), ("d", "e", ts(3))],
+        schema_str).coalesce(1).write.parquet(str(src / "f2.parquet"))
+    # far-future row: advances the watermark past every earlier pair
+    spark.createDataFrame(
+        [("f", "g", datetime(2026, 1, 1, 10, 5, 0))],
+        schema_str).coalesce(1).write.parquet(str(src / "f3.parquet"))
+
+    schema = spark.read.parquet(str(src / "f1.parquet")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    out = dedup_pair_stream(stream, ts_col="ts", delay="10 seconds")
+    q = (out.writeStream.format("memory").queryName("dedup_soak")
+         .outputMode("append")
+         .trigger(processingTime="300 milliseconds").start())
+    try:
+        deadline = time.time() + 150
+        rows, state_rows = [], -1
+        while time.time() < deadline:
+            rows = spark.sql("select * from dedup_soak").collect()
+            prog = q.lastProgress
+            if prog and prog["stateOperators"]:
+                state_rows = prog["stateOperators"][0]["numRowsTotal"]
+            if len(rows) >= 4 and 0 <= state_rows <= 1:
+                break
+            time.sleep(0.5)
+        n_batches = q.lastProgress["batchId"] if q.lastProgress else 0
+    finally:
+        q.stop()
+
+    got = sorted((r.id_a, r.id_b) for r in rows)
+    assert got == [("a", "b"), ("a", "c"), ("d", "e"), ("f", "g")], got
+    # watermark passed 10:00:0x + 10s long ago -> only the far-future
+    # pair may still hold state
+    assert 0 <= state_rows <= 1, state_rows
+    assert n_batches >= 3, n_batches

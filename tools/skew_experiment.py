@@ -60,5 +60,50 @@ def main() -> None:
           f"(generation-stage straggler removed; see BENCH/SKEW.md)")
 
 
+def main_dedup(hot_docs: int = 4096) -> None:
+    """The same experiment through the GRADED dedup path: one planted
+    hot LSH bucket (``hot_docs`` identical documents -> every band key
+    collides) through minhash_neardup_pairs end-to-end, salting ON vs
+    OFF.  Unlike the raw candidate_pairs run above, this includes the
+    exact-Jaccard verify joins and the renormalization — the full
+    operator a training pipeline calls."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from edlib_spark.operators.dedup import minhash_neardup_pairs
+    from edlib_spark.session import get_spark
+
+    spark = get_spark("skew-dedup", master="local[32]",
+                      shuffle_partitions=64)
+    hot = spark.range(hot_docs).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog again and "
+              "again while the template boilerplate repeats verbatim")
+         .alias("text"))
+    noise = spark.range(2000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.repeat(F.concat(F.lit("q"), (F.col("id") * 7919).cast("string"),
+                          F.lit("w ")), 10).alias("text"))
+    docs = hot.unionByName(noise).repartition(64).cache()
+    docs.count()
+
+    expected_hot = hot_docs * (hot_docs - 1) // 2
+    for tag, threshold in (("salted (threshold=256, groups of 128)", 256),
+                           ("unsalted (hot bucket in one task/band)",
+                            1 << 30)):
+        t0 = _time.perf_counter()
+        out = minhash_neardup_pairs(docs, hot_block_threshold=threshold,
+                                    salt_group_size=128)
+        n_hot = out.where(F.col("id_b") < hot_docs).count()
+        secs = _time.perf_counter() - t0
+        assert n_hot == expected_hot, (n_hot, expected_hot)
+        print(f"dedup-path {tag}: {n_hot:,} hot pairs in {secs:.1f}s")
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--dedup" in sys.argv:
+        main_dedup()
+    else:
+        main()
