@@ -190,7 +190,11 @@ def scored_pairs_events(spark: SparkSession, sf_dir: str,
     return _scored_of(canon, tau)
 
 
-def _sql_scored(tau: float) -> str:
+def _sql_scored(tau: float, stratum: str = "TRUE") -> str:
+    """``stratum``: extra pair predicate (over p.id_a/p.id_b) applied
+    BEFORE the levenshtein projection — tools/cross_scale_check.py uses
+    a deterministic md5 stratum so the oracle's quadratic cost shrinks
+    to the sampled fraction at sf0.1; the contract default is TRUE."""
     return f"""
     WITH c AS ({_SQL_CANONICAL}), p AS ({_SQL_PAIRS})
     SELECT p.id_a, p.id_b,
@@ -203,7 +207,8 @@ def _sql_scored(tau: float) -> str:
                      ELSE -1 END AS BIGINT) AS edit_distance
     FROM p JOIN c a ON p.id_a = a.conv_id
            JOIN c b ON p.id_b = b.conv_id
-    WHERE abs(a.text_len - b.text_len)
+    WHERE ({stratum})
+      AND abs(a.text_len - b.text_len)
           <= CAST(ceil({tau} * greatest(a.text_len, b.text_len)) AS INT)
 """
 
@@ -224,12 +229,16 @@ def match_edges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                      TAU_EDGE)
 
 
-_SQL_EDGES = f"""
-    WITH s AS ({_sql_scored(TAU_EDGE)})
+def _sql_edges(stratum: str = "TRUE") -> str:
+    return f"""
+    WITH s AS ({_sql_scored(TAU_EDGE, stratum)})
     SELECT id_a, id_b FROM s
     WHERE edit_distance >= 0
       AND edit_distance <= {TAU_EDGE} * greatest(len_a, len_b)
 """
+
+
+_SQL_EDGES = _sql_edges()
 
 
 def clusters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,8 +271,15 @@ def clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("conv_id", "cluster_id"))
 
 
-_SQL_CLUSTERS = f"""
-    WITH RECURSIVE e AS ({_SQL_EDGES}),
+def _sql_clusters(edges_sql: str | None = None) -> str:
+    """``edges_sql``: alternative edge source for the recursive
+    closure.  The contract default re-derives edges exhaustively
+    (quadratic levenshtein — gate-scale); tools/cross_scale_check.py
+    passes a read_parquet() over Spark-written edges (themselves
+    stratum-verified) so the CLOSURE computation is still independently
+    re-derived at sf0.1 where the exhaustive oracle is infeasible."""
+    return f"""
+    WITH RECURSIVE e AS ({edges_sql or _SQL_EDGES}),
     sym AS (SELECT id_a AS u, id_b AS v FROM e
             UNION SELECT id_b, id_a FROM e),
     reach AS (
@@ -277,6 +293,9 @@ _SQL_CLUSTERS = f"""
     SELECT c.conv_id, coalesce(comp.root, c.conv_id) AS cluster_id
     FROM c LEFT JOIN comp ON c.conv_id = comp.node
 """
+
+
+_SQL_CLUSTERS = _sql_clusters()
 
 
 # ---------------------------------------------------------------------------
@@ -1678,7 +1697,12 @@ def doc_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  tau_pct=80)
 
 
-_SQL_MINHASH_NEARDUP = """
+def _sql_minhash_neardup(stratum: str = "TRUE") -> str:
+    """``stratum``: extra pair predicate over (a.doc_id, b.doc_id),
+    evaluated with the cheap size-ratio prunes BEFORE the quadratic
+    list_intersect — tools/cross_scale_check.py samples the all-pairs
+    oracle down to a deterministic md5 stratum at sf0.1."""
+    return f"""
     WITH sh AS (
         SELECT doc_id,
                list_sort(list_distinct(
@@ -1694,11 +1718,15 @@ _SQL_MINHASH_NEARDUP = """
     -- result-preserving prune: J >= 0.8 forces |A|/|B| ratio >= 0.8
     -- (inter <= min size, union >= max size), so unmatched-size pairs
     -- can skip the expensive intersect entirely
-    WHERE len(a.g) * 100 >= 80 * len(b.g)
+    WHERE ({stratum})
+      AND len(a.g) * 100 >= 80 * len(b.g)
       AND len(b.g) * 100 >= 80 * len(a.g)
       AND len(list_intersect(a.g, b.g)) * 100
           >= 80 * len(list_distinct(list_concat(a.g, b.g)))
 """
+
+
+_SQL_MINHASH_NEARDUP = _sql_minhash_neardup()
 
 
 def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1728,9 +1756,15 @@ def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "cluster_id"))
 
 
-_SQL_NEARDUP_CLUSTERS = f"""
+def _sql_neardup_clusters(edges_sql: str | None = None) -> str:
+    """``edges_sql``: alternative near-dup edge source (see
+    _sql_clusters — same certificate pattern for the cross-scale
+    check at sf0.1, where the exhaustive all-pairs Jaccard oracle is
+    quadratic-infeasible but the closure re-derivation is not)."""
+    edges = edges_sql or f"SELECT id_a, id_b FROM ({_SQL_MINHASH_NEARDUP})"
+    return f"""
     WITH RECURSIVE e AS (
-        SELECT id_a, id_b FROM ({_SQL_MINHASH_NEARDUP})),
+        {edges}),
     sym AS (SELECT id_a AS u, id_b AS v FROM e
             UNION SELECT id_b, id_a FROM e),
     reach AS (
@@ -1744,6 +1778,9 @@ _SQL_NEARDUP_CLUSTERS = f"""
            CAST(coalesce(comp.root, d.doc_id) AS BIGINT) AS cluster_id
     FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
 """
+
+
+_SQL_NEARDUP_CLUSTERS = _sql_neardup_clusters()
 
 
 def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1762,8 +1799,9 @@ def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_members", "n_chars"))
 
 
-_SQL_DEDUP_CORPUS = f"""
-    WITH c AS ({_SQL_NEARDUP_CLUSTERS})
+def _sql_dedup_corpus(edges_sql: str | None = None) -> str:
+    return f"""
+    WITH c AS ({_sql_neardup_clusters(edges_sql)})
     SELECT CAST(c.cluster_id AS BIGINT) AS rep_id,
            CAST(count(*) AS BIGINT) AS n_members,
            CAST(length(d.text) AS BIGINT) AS n_chars
@@ -1772,14 +1810,15 @@ _SQL_DEDUP_CORPUS = f"""
 """
 
 
-def doc_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end corpus-construction chain a training-data
-    pipeline runs: quality gate (length + stopword evidence) -> exact
-    dedup (min doc_id per identical text) -> MinHash near-dup dedup
-    (exact-Jaccard-verified, CC, keep representatives) -> kept corpus
-    with per-doc stats.  Every stage is the already-graded operator;
-    this query grades their COMPOSITION against one SQL oracle."""
-    from .operators.clustering import cluster_assignments
+_SQL_DEDUP_CORPUS = _sql_dedup_corpus()
+
+
+def _training_exact_and_edges(spark: SparkSession,
+                              sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The quality-gate -> exact-dedup -> MinHash-near-dup front of the
+    training-corpus chain, exposed so tools/cross_scale_check.py can
+    certify the edge set independently at sf0.1.  Returns (exact,
+    edges) where edges carries BIGINT ids."""
     from .operators.dedup import minhash_neardup_pairs
     from .operators.textops import tokens
     docs = _read(spark, sf_dir, "documents")
@@ -1797,10 +1836,22 @@ def doc_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.min("doc_id").over(Window.partitionBy("text")))
              .where(F.col("doc_id") == F.col("rep")).drop("rep")
              .localCheckpoint(eager=False))
-    edges = (minhash_neardup_pairs(exact, num_hashes=32, bands=8,
-                                   ngram=5, tau_pct=80)
-             .select(F.col("id_a").cast("string").alias("id_a"),
-                     F.col("id_b").cast("string").alias("id_b")))
+    edges = minhash_neardup_pairs(exact, num_hashes=32, bands=8,
+                                  ngram=5, tau_pct=80)
+    return exact, edges
+
+
+def doc_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-construction chain a training-data
+    pipeline runs: quality gate (length + stopword evidence) -> exact
+    dedup (min doc_id per identical text) -> MinHash near-dup dedup
+    (exact-Jaccard-verified, CC, keep representatives) -> kept corpus
+    with per-doc stats.  Every stage is the already-graded operator;
+    this query grades their COMPOSITION against one SQL oracle."""
+    from .operators.clustering import cluster_assignments
+    exact, edge_pairs = _training_exact_and_edges(spark, sf_dir)
+    edges = edge_pairs.select(F.col("id_a").cast("string").alias("id_a"),
+                              F.col("id_b").cast("string").alias("id_b"))
     nodes = exact.select(F.col("doc_id").cast("string").alias("conv_id"))
     assigned = cluster_assignments(nodes, edges)
     kept = (assigned
@@ -1816,10 +1867,13 @@ def doc_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_tokens").cast("bigint").alias("n_tokens")))
 
 
-def _sql_doc_training_corpus() -> str:
+def _sql_training_stages() -> str:
+    """The linear front of the training-corpus oracle (quality gate,
+    exact dedup, char-5-gram sets) — shared by the full contract
+    oracle and tools/cross_scale_check.py's sampled/certificate
+    variants at sf0.1."""
     stop_list = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
-    return f"""
-    WITH RECURSIVE q AS (
+    return f"""q AS (
         SELECT doc_id, text, length(text) AS n_chars,
                len(list_filter(string_split_regex(lower(text), '\\s+'),
                                t -> t <> '')) AS n_tokens,
@@ -1834,14 +1888,20 @@ def _sql_doc_training_corpus() -> str:
                list_sort(list_distinct(
                    [text[i:i+4] FOR i IN
                     range(1, greatest(length(text) - 4, 1) + 1)])) AS g
-        FROM exd),
-    e AS (
+        FROM exd)"""
+
+
+def _sql_doc_training_corpus(edges_sql: str | None = None) -> str:
+    edges = edges_sql or """
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM grams a JOIN grams b ON a.doc_id < b.doc_id
         WHERE len(a.g) * 100 >= 80 * len(b.g)
           AND len(b.g) * 100 >= 80 * len(a.g)
           AND len(list_intersect(a.g, b.g)) * 100
-              >= 80 * len(list_distinct(list_concat(a.g, b.g)))),
+              >= 80 * len(list_distinct(list_concat(a.g, b.g)))"""
+    return f"""
+    WITH RECURSIVE {_sql_training_stages()},
+    e AS ({edges}),
     sym AS (SELECT id_a AS u, id_b AS v FROM e
             UNION SELECT id_b, id_a FROM e),
     reach AS (

@@ -1,0 +1,232 @@
+"""Cross-scale correctness gate: hash-verify ALL 48 contract queries
+at a second scale (default sf0.1), closing the round-3 hole where 8
+queries were hash-verified only at gate scale because their DuckDB
+oracle is quadratic at 5k docs (exhaustive all-pairs Jaccard; 424k
+multi-KB levenshteins feeding a recursive clustering CTE).
+
+Two oracle downscalings make those 8 feasible WITHOUT weakening what
+is independently re-derived:
+
+* SAMPLED (pair-level queries — scored_pairs_nw, match_edges,
+  doc_minhash_neardup): both sides restrict to the same deterministic
+  pair stratum, substr(md5(id_a || '|' || id_b), 1, 2) <= XS_STRATUM
+  (default '07' = 8/256 ~ 3.1%).  Spark filters its full output;
+  DuckDB pushes the identical predicate below its expensive
+  levenshtein / list_intersect projection, so the oracle recomputes
+  the stratum EXHAUSTIVELY and the hashes must match exactly.  md5 of
+  the same UTF-8 string is identical in Spark and DuckDB, so the
+  stratum is drawn identically with no shared code.
+
+* CERTIFICATE (cluster-chain queries — clusters,
+  clusters_incremental, doc_neardup_clusters, doc_dedup_corpus,
+  doc_training_corpus): the quadratic part of their oracle is edge
+  derivation, which the SAMPLED checks above already verify on a
+  stratum; the oracle here reads the Spark-produced edge list from a
+  side table (the established token-hash convention) and INDEPENDENTLY
+  re-derives everything downstream — symmetric closure via the
+  recursive CTE, min-label components, representative selection, the
+  linear quality/exact-dedup stages — then the full output hashes must
+  match.  A supporting non-contract check (training_edges_sampled)
+  stratum-verifies the training chain's internal edge set, which
+  differs from doc_minhash_neardup's (post-quality, post-exact-dedup).
+
+Everything else runs against its untouched full oracle, exactly as
+the sf0.01 driver gate does.
+
+Usage: python tools/cross_scale_check.py [sf_dir] [only,names]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from check_contract import TABLES, frame_hash  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+STRATUM = os.environ.get("XS_STRATUM", "07")
+DATA = "/root/repo/data"
+
+
+def _stratum_sql(a: str, b: str) -> str:
+    return (f"substr(md5(CAST({a} AS VARCHAR) || '|' || "
+            f"CAST({b} AS VARCHAR)), 1, 2) <= '{STRATUM}'")
+
+
+def _stratum_col():
+    from pyspark.sql import functions as F
+    return (F.substring(
+        F.md5(F.concat_ws("|", F.col("id_a").cast("string"),
+                          F.col("id_b").cast("string"))), 1, 2)
+        <= STRATUM)
+
+
+def _write_edges(df, path: str) -> str:
+    df.coalesce(4).write.mode("overwrite").parquet(path)
+    return f"SELECT id_a, id_b FROM read_parquet('{path}/*.parquet')"
+
+
+def build_overrides(spark, sf_dir):
+    """name -> (spark_df_fn, oracle_sql_fn, tag).  oracle_sql_fn runs
+    AFTER the Spark side so certificate side tables exist."""
+    from pyspark.sql import functions as F
+
+    from edlib_spark import driver_contract as dc
+
+    edge_sql_cache: dict[str, str] = {}
+
+    def match_edge_sql() -> str:
+        if "events" not in edge_sql_cache:
+            edge_sql_cache["events"] = _write_edges(
+                dc.match_edges_events(spark, sf_dir),
+                f"{DATA}/xs_event_edges.parquet")
+        return edge_sql_cache["events"]
+
+    def doc_edge_sql() -> str:
+        if "docs" not in edge_sql_cache:
+            edge_sql_cache["docs"] = _write_edges(
+                dc.doc_minhash_neardup(spark, sf_dir)
+                  .select("id_a", "id_b"),
+                f"{DATA}/xs_doc_edges.parquet")
+        return edge_sql_cache["docs"]
+
+    def training_edge_sql() -> str:
+        if "training" not in edge_sql_cache:
+            _, edges = dc._training_exact_and_edges(spark, sf_dir)
+            edge_sql_cache["training"] = _write_edges(
+                edges.select("id_a", "id_b"),
+                f"{DATA}/xs_training_edges.parquet")
+        return edge_sql_cache["training"]
+
+    sampled = f"sampled {STRATUM} stratum"
+    over = {
+        "scored_pairs_nw": (
+            lambda: dc.scored_pairs_events(spark, sf_dir)
+                      .where(_stratum_col()),
+            lambda: dc._sql_scored(dc.TAU,
+                                   _stratum_sql("p.id_a", "p.id_b")),
+            sampled),
+        "match_edges": (
+            lambda: dc.match_edges_events(spark, sf_dir)
+                      .where(_stratum_col()),
+            lambda: dc._sql_edges(_stratum_sql("p.id_a", "p.id_b")),
+            sampled),
+        "doc_minhash_neardup": (
+            lambda: dc.doc_minhash_neardup(spark, sf_dir)
+                      .where(_stratum_col()),
+            lambda: dc._sql_minhash_neardup(
+                _stratum_sql("a.doc_id", "b.doc_id")),
+            sampled),
+        "clusters": (
+            lambda: dc.clusters_events(spark, sf_dir),
+            lambda: dc._sql_clusters(match_edge_sql()),
+            "certificate"),
+        "clusters_incremental": (
+            lambda: dc.clusters_incremental(spark, sf_dir),
+            lambda: dc._sql_clusters(match_edge_sql()),
+            "certificate"),
+        "doc_neardup_clusters": (
+            lambda: dc.doc_neardup_clusters(spark, sf_dir),
+            lambda: dc._sql_neardup_clusters(doc_edge_sql()),
+            "certificate"),
+        "doc_dedup_corpus": (
+            lambda: dc.doc_dedup_corpus(spark, sf_dir),
+            lambda: dc._sql_dedup_corpus(doc_edge_sql()),
+            "certificate"),
+        "doc_training_corpus": (
+            lambda: dc.doc_training_corpus(spark, sf_dir),
+            lambda: dc._sql_doc_training_corpus(training_edge_sql()),
+            "certificate"),
+        # supporting evidence (not a contract query): the training
+        # chain's internal edge set, stratum-verified exhaustively
+        "training_edges_sampled": (
+            lambda: dc._training_exact_and_edges(spark, sf_dir)[1]
+                      .where(_stratum_col()),
+            lambda: f"""
+                WITH {dc._sql_training_stages()}
+                SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+                       CAST(b.doc_id AS BIGINT) AS id_b,
+                       CAST(len(list_intersect(a.g, b.g)) AS BIGINT)
+                           AS inter_count,
+                       CAST(len(list_distinct(list_concat(a.g, b.g)))
+                            AS BIGINT) AS union_count
+                FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+                WHERE ({_stratum_sql('a.doc_id', 'b.doc_id')})
+                  AND len(a.g) * 100 >= 80 * len(b.g)
+                  AND len(b.g) * 100 >= 80 * len(a.g)
+                  AND len(list_intersect(a.g, b.g)) * 100
+                      >= 80 * len(list_distinct(list_concat(a.g, b.g)))
+            """,
+            sampled),
+    }
+    return over
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from edlib_spark.session import get_spark
+
+    spark = get_spark("cross-scale-check", master="local[16]",
+                      shuffle_partitions=32)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = dict(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    over = build_overrides(spark, SF_DIR)
+    qs["training_edges_sampled"] = None  # supporting check, spark in over
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    failures = 0
+    for name in qs:
+        if only and name not in only:
+            continue
+        tag = "full oracle"
+        t0 = time.perf_counter()
+        try:
+            if name in over:
+                spark_fn, oracle_fn, tag = over[name]
+                sdf = spark_fn()
+            else:
+                sdf = qs[name](spark, SF_DIR)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}", flush=True)
+            failures += 1
+            continue
+        t_spark = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        try:
+            sql = oracle_fn() if name in over else oracles[name]
+            res = con.execute(sql)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}", flush=True)
+            failures += 1
+            continue
+        t_duck = time.perf_counter() - t0
+        ok = (sorted(scols) == sorted(dcols) and len(srows) == len(drows)
+              and frame_hash(scols, srows) == frame_hash(dcols, drows))
+        failures += 0 if ok else 1
+        print(f"{'OK  ' if ok else 'FAIL'}  {name} [{tag}]: "
+              f"spark={len(srows)} duck={len(drows)} "
+              f"({t_spark:.1f}s spark, {t_duck:.1f}s oracle)", flush=True)
+    spark.stop()
+    n = len([k for k in qs if not only or k in only])
+    print(f"SUMMARY: {n} checks, {failures} failures at {SF_DIR} "
+          f"(stratum <= '{STRATUM}')")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
