@@ -24,9 +24,10 @@ state lives off-heap on local disk with incremental checkpointing:
 
 Both stateful operators here (applyInPandasWithState and
 dropDuplicatesWithinWatermark in scorer.dedup_pair_stream) run
-unchanged on either provider; the tests use the default provider at
-test-scale state.  Timeout/tombstone behavior under a continuous
-processing-time trigger is soaked in
+unchanged on either provider — the RocksDB path is exercised by
+tests/test_streaming.py::test_stream_canonicalize_on_rocksdb_state_store
+(same output as the default provider).  Timeout/tombstone behavior
+under a continuous processing-time trigger is soaked in
 tests/test_streaming.py::test_stream_canonicalize_continuous_soak.
 """
 

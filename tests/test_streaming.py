@@ -431,3 +431,52 @@ def test_dedup_pair_stream_continuous_state_eviction(spark, tmp_path):
     # pair may still hold state
     assert 0 <= state_rows <= 1, state_rows
     assert n_batches >= 3, n_batches
+
+
+def test_stream_canonicalize_on_rocksdb_state_store(spark, tmp_path):
+    """The production state-store config actually works, not just
+    documented: the stateful canonicalizer runs on
+    RocksDBStateStoreProvider (state off-heap on local disk — what a
+    deployment with millions of in-flight conversations needs) and
+    produces the same rows as the default HDFS-backed provider."""
+    from edlib_spark.operators.canonicalize import TURN_SEP
+    from edlib_spark.streaming.canonicalize import stream_canonicalize
+
+    src = tmp_path / "turns_rocks"
+    src.mkdir()
+    schema_str = "conv_id string, turn_idx int, role string, text string"
+    spark.createDataFrame(
+        [("A", 1, "assistant", "world"), ("A", 0, "user", "hello"),
+         ("B", 0, "user", "b-turn")],
+        schema_str).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    spark.createDataFrame(
+        [("A", -1, "end", None), ("B", -1, "end", None)],
+        schema_str).coalesce(1).write.parquet(str(src / "f2.parquet"))
+    schema = spark.read.parquet(str(src / "f1.parquet")).schema
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming."
+             "state.RocksDBStateStoreProvider")
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src) + "/*"))
+        out = stream_canonicalize(stream, end_role="end")
+        q = (out.writeStream.format("memory").queryName("canon_rocks")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    got = {r.conv_id: r for r in
+           spark.sql("select * from canon_rocks").collect()}
+    assert set(got) == {"A", "B"}
+    assert got["A"].full_text == "hello" + TURN_SEP + "world"
+    assert got["A"].n_turns == 2 and got["A"].complete == "end"
+    assert got["B"].full_text == "b-turn"
