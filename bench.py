@@ -218,11 +218,22 @@ def main():
     hq_pre = host_cpu_ceiling(CPUS)
     results["queries"], results["queries_warm"] = headline_queries(
         spark, SF_DIR)
-    results["pipeline"] = pipeline_section(spark)
     spark.stop()
     hq_post = host_cpu_ceiling(CPUS)
     results["headline_ceiling_units_per_sec"] = {
         "pre": round(hq_pre, 2), "post": round(hq_post, 2)}
+
+    # end-to-end pipeline in its OWN fresh session with the same
+    # config as tools/pipeline_bench.py — the 'one shared measurement
+    # path' claim requires the same session shape, not just the same
+    # measure_linkage code (the r3 headline/scaling 2.7x gap was
+    # exactly a shared-session + different-shuffle-width artifact)
+    spark = run_at(f"local[{CPUS}]", 64)
+    results["pipeline"] = pipeline_section(spark)
+    spark.stop()
+    pl_post = host_cpu_ceiling(CPUS)
+    results["pipeline_ceiling_units_per_sec"] = {
+        "pre": round(hq_post, 2), "post": round(pl_post, 2)}
 
     # pair scoring headline: run in a FRESH session with the SAME
     # config as the scaling section below (local[CPUS], 64 shuffle
@@ -241,7 +252,7 @@ def main():
     results["queries"]["pair_scoring_bench"] = secs
     results["pair_scoring_cold_sec"] = round(cold_secs, 2)
     results["pair_scoring_ceiling_units_per_sec"] = {
-        "pre": round(hq_post, 2), "post": round(ps_post, 2)}
+        "pre": round(pl_post, 2), "post": round(ps_post, 2)}
     results["scored_pairs"] = n_pairs
     results["scored_pairs_per_sec"] = round(n_pairs / secs, 1)
 

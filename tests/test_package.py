@@ -18,15 +18,22 @@ import subprocess
 import sys
 
 
+def _repo():
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def _tools():
-    # Imported lazily so this module does not mutate sys.path for the
-    # whole pytest session (round-3 advice: a module-level insert could
-    # shadow an installed edlib_spark/tools in other tests).
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if repo not in sys.path:
-        sys.path.insert(0, repo)
-    from tools import package
-    return package
+    # Loaded by explicit file path so this module never touches
+    # sys.path at all (round-3 advice: a path insert — even a lazy
+    # one — could shadow an installed edlib_spark/tools for every
+    # test that runs after it).
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "edlib_spark_tools_package",
+        os.path.join(_repo(), "tools", "package.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 # The probe asserts distances exactly but ROUND-TRIPS the CIGAR
@@ -117,5 +124,16 @@ def test_wheel_is_reproducible(tmp_path):
 
 
 def test_wheel_version_in_sync(tmp_path):
+    """All three version surfaces resolve to the one source of truth
+    (edlib_spark.__version__): the wheel builder parses it, and
+    pyproject.toml declares it via setuptools dynamic versioning."""
+    import tomllib
+
     import edlib_spark
     assert _tools().VERSION == edlib_spark.__version__
+    with open(os.path.join(_repo(), "pyproject.toml"), "rb") as fh:
+        proj = tomllib.load(fh)
+    assert "version" in proj["project"]["dynamic"]
+    assert (proj["tool"]["setuptools"]["dynamic"]["version"]["attr"]
+            == "edlib_spark.__version__")
+    assert "version" not in proj["project"]

@@ -72,8 +72,6 @@ def _write_edges(df, path: str) -> str:
 def build_overrides(spark, sf_dir):
     """name -> (spark_df_fn, oracle_sql_fn, tag).  oracle_sql_fn runs
     AFTER the Spark side so certificate side tables exist."""
-    from pyspark.sql import functions as F
-
     from edlib_spark import driver_contract as dc
 
     edge_sql_cache: dict[str, str] = {}
@@ -96,9 +94,11 @@ def build_overrides(spark, sf_dir):
     def training_edge_sql() -> str:
         if "training" not in edge_sql_cache:
             _, edges = dc._training_exact_and_edges(spark, sf_dir)
+            # keep inter/union too: the sampled edge check rereads
+            # this table instead of recomputing the whole chain (the
+            # certificate SQL projects only id_a/id_b from it)
             edge_sql_cache["training"] = _write_edges(
-                edges.select("id_a", "id_b"),
-                f"{DATA}/xs_training_edges.parquet")
+                edges, f"{DATA}/xs_training_edges.parquet")
         return edge_sql_cache["training"]
 
     sampled = f"sampled {STRATUM} stratum"
@@ -141,10 +141,15 @@ def build_overrides(spark, sf_dir):
             lambda: dc._sql_doc_training_corpus(training_edge_sql()),
             "certificate"),
         # supporting evidence (not a contract query): the training
-        # chain's internal edge set, stratum-verified exhaustively
+        # chain's internal edge set, stratum-verified exhaustively.
+        # Read back from the certificate side table (written by the
+        # doc_training_corpus check earlier in the run) instead of
+        # recomputing the full quality+dedup+minhash pass — both are
+        # Spark-derived, so the reread loses no independence.
         "training_edges_sampled": (
-            lambda: dc._training_exact_and_edges(spark, sf_dir)[1]
-                      .where(_stratum_col()),
+            lambda: (training_edge_sql() and
+                     spark.read.parquet(f"{DATA}/xs_training_edges.parquet")
+                          .where(_stratum_col())),
             lambda: f"""
                 WITH {dc._sql_training_stages()}
                 SELECT CAST(a.doc_id AS BIGINT) AS id_a,
@@ -204,6 +209,11 @@ def main():
             failures += 1
             continue
         t_spark = time.perf_counter() - t0
+        if name not in over and name not in oracles:
+            # legal at gate scale too (check_contract prints the same)
+            print(f"rows  {name}: {len(srows)} rows "
+                  f"({t_spark:.1f}s) [no oracle]", flush=True)
+            continue
         t0 = time.perf_counter()
         try:
             sql = oracle_fn() if name in over else oracles[name]
@@ -215,11 +225,14 @@ def main():
             failures += 1
             continue
         t_duck = time.perf_counter() - t0
-        ok = (sorted(scols) == sorted(dcols) and len(srows) == len(drows)
-              and frame_hash(scols, srows) == frame_hash(dcols, drows))
+        ok_cols = sorted(scols) == sorted(dcols)
+        sh, dh = frame_hash(scols, srows), frame_hash(dcols, drows)
+        ok = ok_cols and len(srows) == len(drows) and sh == dh
         failures += 0 if ok else 1
         print(f"{'OK  ' if ok else 'FAIL'}  {name} [{tag}]: "
               f"spark={len(srows)} duck={len(drows)} "
+              f"cols={'=' if ok_cols else f'{scols} vs {dcols}'} "
+              f"hash={'=' if sh == dh else f'{sh} vs {dh}'} "
               f"({t_spark:.1f}s spark, {t_duck:.1f}s oracle)", flush=True)
     spark.stop()
     n = len([k for k in qs if not only or k in only])

@@ -17,33 +17,31 @@ from __future__ import annotations
 import base64
 import hashlib
 import os
+import re
 import sys
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-VERSION = "0.4.0"  # keep in sync with pyproject.toml / __init__.py
 
 
-def build(out_zip: str | None = None) -> str:
-    out = out_zip or os.path.join(REPO, "dist", "edlib_spark.zip")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    pkg = os.path.join(REPO, "edlib_spark")
-    entries = []
-    for root, _dirs, files in os.walk(pkg):
-        for fn in files:
-            if fn.endswith(".py"):
-                full = os.path.join(root, fn)
-                entries.append((os.path.relpath(full, REPO), full))
-    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
-        for arc, full in sorted(entries):
-            with open(full, "rb") as fh:
-                info = zipfile.ZipInfo(arc, date_time=(1980, 1, 1, 0, 0, 0))
-                info.compress_type = zipfile.ZIP_DEFLATED
-                zf.writestr(info, fh.read())
-    return out
+def _read_version() -> str:
+    """Single source of truth is edlib_spark/__init__.py (parsed, not
+    imported, so building artifacts needs no package imports);
+    pyproject.toml reads the same attribute via setuptools dynamic
+    versioning."""
+    init = os.path.join(REPO, "edlib_spark", "__init__.py")
+    with open(init, encoding="utf-8") as fh:
+        return re.search(r'__version__ = "([^"]+)"', fh.read()).group(1)
+
+
+VERSION = _read_version()
 
 
 def _pkg_entries() -> list[tuple[str, bytes]]:
+    """The one source listing both artifacts ship: every .py under
+    edlib_spark/, sorted by archive path.  Zip and wheel MUST stay
+    content-identical — if the inclusion rule changes, it changes here
+    for both."""
     pkg = os.path.join(REPO, "edlib_spark")
     out = []
     for root, _dirs, files in os.walk(pkg):
@@ -53,6 +51,17 @@ def _pkg_entries() -> list[tuple[str, bytes]]:
                 with open(full, "rb") as fh:
                     out.append((os.path.relpath(full, REPO), fh.read()))
     return sorted(out)
+
+
+def build(out_zip: str | None = None) -> str:
+    out = out_zip or os.path.join(REPO, "dist", "edlib_spark.zip")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for arc, data in _pkg_entries():
+            info = zipfile.ZipInfo(arc, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, data)
+    return out
 
 
 def build_wheel(out_dir: str | None = None) -> str:
