@@ -235,26 +235,30 @@ def main():
     results["pipeline_ceiling_units_per_sec"] = {
         "pre": round(hq_post, 2), "post": round(pl_post, 2)}
 
-    # pair scoring headline: run in a FRESH session with the SAME
-    # config as the scaling section below (local[CPUS], 64 shuffle
-    # partitions) so the two methodologies agree — in r3 the headline
-    # ran in the main session right after the memory-heavy warm query
-    # repeats with a different shuffle width and read 2.7x slower than
-    # the identical job in the scaling section.  The first shot still
-    # reads the 2.3 GB pair table through whatever page cache the host
-    # has (I/O + host noise, reported separately as cold); the graded
-    # number is best-of-3 warm.
+    # pair scoring headline.  When the scaling section runs and CPUS
+    # matches a scaling level, the headline IS that level's
+    # measurement — same job, same session, same config, reported
+    # once (in r3 the two sections measured the identical job 2.7x
+    # apart because the headline shared a session with the warm query
+    # repeats under a different shuffle width; and even two
+    # IDENTICALLY-configured fresh sessions minutes apart differ up
+    # to 1.7x when the host silicon drifts between them — one
+    # measurement cannot disagree with itself).  The cold shot still
+    # runs in its own fresh session first (I/O + host noise, reported
+    # separately).
     spark = run_at(f"local[{CPUS}]", 64)
     cold_secs, n_pairs = scoring_job(spark)
-    secs = min(scoring_job(spark)[0] for _ in range(3))
+    results["pair_scoring_cold_sec"] = round(cold_secs, 2)
+    headline_from_scaling = do_scaling and CPUS in (2, 8, 32)
+    if not headline_from_scaling:
+        secs = min(scoring_job(spark)[0] for _ in range(3))
+        results["queries"]["pair_scoring_bench"] = secs
+        results["scored_pairs"] = n_pairs
+        results["scored_pairs_per_sec"] = round(n_pairs / secs, 1)
     spark.stop()
     ps_post = host_cpu_ceiling(CPUS)
-    results["queries"]["pair_scoring_bench"] = secs
-    results["pair_scoring_cold_sec"] = round(cold_secs, 2)
     results["pair_scoring_ceiling_units_per_sec"] = {
         "pre": round(pl_post, 2), "post": round(ps_post, 2)}
-    results["scored_pairs"] = n_pairs
-    results["scored_pairs_per_sec"] = round(n_pairs / secs, 1)
 
     if do_scaling:
         scaling = {"pairs": []}
@@ -283,6 +287,10 @@ def main():
             scaling[f"cores={ncores}"] = {
                 "cores": ncores, "sec": round(secs, 2),
                 "pairs_per_sec": round(n / secs, 1)}
+            if headline_from_scaling and ncores == CPUS:
+                results["queries"]["pair_scoring_bench"] = secs
+                results["scored_pairs"] = n
+                results["scored_pairs_per_sec"] = round(n / secs, 1)
             spark.stop()
             post = host_cpu_ceiling(ncores)
             ceiling_samples[ncores] = (pre, post)
@@ -339,9 +347,11 @@ runs (one stamp before, one after, max kept — the least-contended
 capability estimate) so mid-harness silicon drift stamps the level it
 actually hit; the honest job metric is `job_vs_ceiling` = job
 efficiency / host-ceiling efficiency (1.0 means the pipeline scales
-as well as the hardware allows).  The pair-scoring headline runs in a
-fresh session with this section's exact config (local[N], 64 shuffle
-partitions), so the two methodologies are directly comparable.
+as well as the hardware allows).  The pair-scoring headline IS this section's
+cores={CPUS} measurement — same job, same session, same config,
+reported once — so the two numbers cannot diverge (two
+identically-configured fresh sessions minutes apart measured the same
+job up to 1.7x apart when the silicon drifted between them).
 
 | config | cores | wall sec | scored pairs/sec | host raw-CPU units/s |
 |---|---|---|---|---|
