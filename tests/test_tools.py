@@ -34,3 +34,36 @@ def test_cross_scale_overrides_match_contract():
         "doc_training_corpus"}
     # every override carries a tag the report prints
     assert all(len(v) == 3 and v[2] for v in over.values())
+
+
+def test_md5_stratum_agrees_between_spark_and_duckdb(spark):
+    """The cross-scale sampled oracles assume Spark and DuckDB draw
+    the IDENTICAL pair stratum from md5 of the same rendered string —
+    pin that foundation: lowercase hex digests and the substring
+    comparison agree for representative id shapes (event conv_ids,
+    bigint doc_ids, multi-byte text)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rows = [(f"u{i}", i * 7919) for i in range(200)]
+    rows += [("uß∂", 1), ("", 0), ("u1|u2", 3)]  # separator/unicode edges
+    df = spark.createDataFrame(rows, "id_a string, id_b long")
+    got = {(r["id_a"], r["id_b"]): (r["h"], r["in_stratum"]) for r in
+           df.select(
+               "id_a", "id_b",
+               F.md5(F.concat_ws("|", F.col("id_a"),
+                                 F.col("id_b").cast("string"))).alias("h"),
+               (F.substring(F.md5(F.concat_ws(
+                   "|", F.col("id_a"),
+                   F.col("id_b").cast("string"))), 1, 2) <= "07")
+               .alias("in_stratum")).collect()}
+    con = duckdb.connect()
+    for (ia, ib), (h, strat) in got.items():
+        dh, dstrat = con.execute(
+            "SELECT md5(? || '|' || CAST(CAST(? AS BIGINT) AS VARCHAR)),"
+            " substr(md5(? || '|' || CAST(CAST(? AS BIGINT) AS VARCHAR)),"
+            " 1, 2) <= '07'", [ia, ib, ia, ib]).fetchone()
+        assert (dh, dstrat) == (h, strat), (ia, ib, h, dh)
+    # the stratum is non-trivial at this sample size
+    frac = sum(1 for _, s in got.values() if s) / len(got)
+    assert 0.0 < frac < 0.15, frac
