@@ -14,22 +14,23 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> None:
+    from bench import host_cpu_ceiling
     from edlib_spark.plans.linkage import measure_linkage
     from edlib_spark.session import get_spark
 
     scale = sys.argv[1] if len(sys.argv) > 1 else "medium"
+    # host-silicon samples BRACKET the run (pre + post): a single
+    # end-of-run sample mis-stamps a run whose silicon recovered (or
+    # collapsed) mid-way — observed: a 448s run stamped 15.6 units/s
+    # by its post-run sample after executing almost entirely at ~6
+    pre = host_cpu_ceiling(32)
     spark = get_spark("pipeline-bench", master="local[32]",
                       shuffle_partitions=64)
     res = measure_linkage(spark, scale)
     n_turns, n_convs = res["turns"], res["convs"]
     total, counts, m = res["wall_sec"], res["counts"], res["metrics"]
     spark.stop()
-
-    # simultaneous host-silicon sample: the shared sandbox delivers a
-    # fluctuating fraction of its 32 vCPUs (see BENCH/BASELINE.md), so
-    # wall numbers are only comparable across runs via this ceiling
-    from bench import host_cpu_ceiling
-    ceiling32 = host_cpu_ceiling(32)
+    post = host_cpu_ceiling(32)
 
     rows = "\n".join(f"| {name} | {n:,} |" for name, n in counts.items())
     md = f"""# BENCH — full linkage pipeline at '{scale}' scale
@@ -49,9 +50,10 @@ precision {m['precision']:.4f}, recall {m['recall']:.4f},
 **F1 {m['f1']:.4f}** (target >= 0.99; {int(m['true_pairs']):,} true
 pairs, {int(m['common_pairs']):,} recovered).
 
-Host silicon at run time (Spark-free raw-CPU units/s at 32 procs —
-samples have ranged 7.7-14.7 across rounds; normalize wall
-numbers by it before comparing across runs): **{ceiling32:.2f}**.
+Host silicon bracketing the run (Spark-free raw-CPU units/s at 32
+procs, sampled before and after — samples have ranged 3.1-15.6 across
+rounds; normalize wall numbers by these before comparing across
+runs): **pre {pre:.2f} / post {post:.2f}**.
 
 Reproduce: `python tools/pipeline_bench.py {scale}`
 """
