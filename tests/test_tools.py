@@ -67,3 +67,48 @@ def test_md5_stratum_agrees_between_spark_and_duckdb(spark):
     # the stratum is non-trivial at this sample size
     frac = sum(1 for _, s in got.values() if s) / len(got)
     assert 0.0 < frac < 0.15, frac
+
+
+def test_sampled_checker_catches_perturbation(spark, monkeypatch):
+    """Negative control for the cross-scale sampled oracle: with the
+    stratum widened to 100% at sf0.001 (the default 3.1% stratum is
+    empty at that scale), the Spark side and the stratum-injected
+    DuckDB oracle must hash-equal — and a single perturbed
+    edit_distance value must break the hash.  Guards against the
+    checker ever passing vacuously."""
+    import duckdb
+
+    _tools_dir_on_path()
+    import cross_scale_check as xs
+    from check_contract import TABLES, frame_hash
+
+    monkeypatch.setattr(xs, "STRATUM", "ff")  # 256/256 = every pair
+    sf = "/root/testdata/sf0.001"
+    over = xs.build_overrides(spark, sf)
+    spark_fn, oracle_fn, _tag = over["scored_pairs_nw"]
+
+    sdf = spark_fn()
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) > 10  # non-vacuous at full stratum
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    res = con.execute(oracle_fn())
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols)
+    assert frame_hash(scols, srows) == frame_hash(dcols, drows)
+
+    # flip one value: the order-insensitive hash must notice
+    bad = list(srows)
+    idx = scols.index("edit_distance")
+    bad[0] = bad[0][:idx] + (bad[0][idx] + 1,) + bad[0][idx + 1:]
+    assert frame_hash(scols, bad) != frame_hash(dcols, drows)
+    # and a dropped row too (count aside, the hash itself must differ)
+    assert frame_hash(scols, srows[1:]) != frame_hash(dcols, drows)
