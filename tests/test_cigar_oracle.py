@@ -104,3 +104,32 @@ def test_leading_insertion_preference(tmp_path):
     # widening the window left) passes regardless of context depth.
     got = _run(tmp_path, [(0, 1, "aab", "zab", "1X2=", 0)])
     assert got[0][1] == "1X2="
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_TEXT = st.text(alphabet="abcde", min_size=1, max_size=40)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(q=_TEXT, t=_TEXT)
+def test_certificate_property_random_paths(q, t):
+    """Property: every kernel-produced NW path certifies, and bumping
+    the first run length (which breaks the consumption totals by
+    construction) is always flagged — hypothesis-shrunk counterexamples
+    would localize any certificate/kernel disagreement."""
+    import pathlib
+    import re
+    import tempfile
+
+    d = pathlib.Path(tempfile.mkdtemp(prefix="cigar_prop_"))
+    cigar = kernel.align(q, t, mode="NW", task="path")["cigar"]
+    got = _run(d, [(0, 1, q, t, cigar)])
+    assert got[0][1] == cigar
+
+    m = re.match(r"(\d+)", cigar)
+    bad = str(int(m.group(1)) + 1) + cigar[m.end():]
+    got = _run(d, [(0, 1, q, t, bad)])
+    assert got[0][1] == "!invalid"
