@@ -111,7 +111,21 @@ job/ceiling, as in BENCH/BASELINE.md, whose local[N]
 thread-parallelism study this complements with real executor
 processes).
 
-Reproduce: `python tools/cluster_scale_bench.py`
+## spark-submit ship-path demonstration (round 4, verified)
+
+The FULL checkpointed pipeline also runs via literal spark-submit on
+this multi-executor cluster — every stage (canonical, blocks,
+candidate_pairs, scored_pairs, edges, clusters) checkpointed with
+per-partition lineage manifests, and the 'small' corpus's 300 planted
+clusters recovered exactly:
+
+    spark-submit --master "local-cluster[2,2,2304]" \\
+        --py-files dist/edlib_spark.zip \\
+        tools/run_linkage_job.py --input data/transcripts_small.parquet \\
+        --output /tmp/lc_run --run-id lc1
+
+Reproduce: `python tools/cluster_scale_bench.py` (scaling) and the
+spark-submit line above (ship path).
 """
     with open("/root/repo/BENCH/CLUSTER_SCALE.md", "w") as fh:
         fh.write(md)
