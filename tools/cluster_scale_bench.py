@@ -124,8 +124,35 @@ clusters recovered exactly:
         tools/run_linkage_job.py --input data/transcripts_small.parquet \\
         --output /tmp/lc_run --run-id lc1
 
+Resume on the cluster: re-submitting the identical job with the same
+--run-id completes in well under a minute on 2 executors, returning
+the same clusters with the FIRST run's stage manifests intact (all
+six stages read back from their checkpoints rather than recomputed) —
+the RunCatalog resume contract holding under real executor JVMs, not
+just local mode.  Held green by tests/test_cluster_ship.py.
+
+Ship-artifact division of labor (probed): passing the WHEEL via
+--py-files fails on Spark 4.1 — executor Python workers do not add
+.whl files to their sys.path (ModuleNotFoundError in the UDF
+deserializer), so the zip is the --py-files artifact and the wheel is
+the cluster-image artifact (pip install, proven offline in
+tests/test_package.py) — exactly the split the README documents.
+
+Stateful streaming on the cluster (probed, round 4): the
+applyInPandasWithState canonicalizer ran on local-cluster[2,2,2304]
+with the zip-shipped engine — two micro-batches, state carried across
+them on executor-side state stores, correct ordered canonical rows
+emitted on the end markers.  The streaming surface is not a
+local-mode-only artifact.
+
 Reproduce: `python tools/cluster_scale_bench.py` (scaling) and the
-spark-submit line above (ship path).
+spark-submit line above (ship path).  Host-silicon health check
+before trusting a sample: the two levels' bracketing stamps must be
+comparable — one observed sample had the 8-executor phase run on a
+host window that delivered LESS absolute throughput at 16 procs than
+an earlier window gave 4 (throughput inversion); such samples say
+nothing about the engine and should be discarded, which is what the
+stamps are for.
 """
     with open("/root/repo/BENCH/CLUSTER_SCALE.md", "w") as fh:
         fh.write(md)
