@@ -28,6 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# parallelism levels of the scaling section — the single source for
+# the loop, the headline-unification test, and the evidence tables
+SCALING_LEVELS = (2, 8, 32)
 # bench-scale pair table (~15k clusters -> a few million candidate
 # pairs): big enough that the scoring stage is compute-bound and the
 # N-vs-4N scaling measurement is not startup-noise-dominated.
@@ -249,7 +252,7 @@ def main():
     spark = run_at(f"local[{CPUS}]", 64)
     cold_secs, n_pairs = scoring_job(spark)
     results["pair_scoring_cold_sec"] = round(cold_secs, 2)
-    headline_from_scaling = do_scaling and CPUS in (2, 8, 32)
+    headline_from_scaling = do_scaling and CPUS in SCALING_LEVELS
     if not headline_from_scaling:
         secs = min(scoring_job(spark)[0] for _ in range(3))
         results["queries"]["pair_scoring_bench"] = secs
@@ -257,15 +260,22 @@ def main():
         results["scored_pairs_per_sec"] = round(n_pairs / secs, 1)
     spark.stop()
     ps_post = host_cpu_ceiling(CPUS)
-    results["pair_scoring_ceiling_units_per_sec"] = {
+    # stamps for the cold shot; when the headline comes from the
+    # scaling section, that section's cores=CPUS brackets are copied
+    # over pair_scoring_ceiling_units_per_sec below so the headline's
+    # stamps are always from ITS OWN silicon window
+    results["pair_scoring_cold_ceiling_units_per_sec"] = {
         "pre": round(pl_post, 2), "post": round(ps_post, 2)}
+    if not headline_from_scaling:
+        results["pair_scoring_ceiling_units_per_sec"] = \
+            results["pair_scoring_cold_ceiling_units_per_sec"]
 
     if do_scaling:
         scaling = {"pairs": []}
         per_cores: dict[int, float] = {}
         ceiling: dict[int, float] = {}
         ceiling_samples: dict[int, tuple[float, float]] = {}
-        for ncores in (2, 8, 32):
+        for ncores in SCALING_LEVELS:
             # raw-CPU ceiling at the same process count, BRACKETING
             # this level's Spark runs (pre + post, keep the max = the
             # least-contended capability estimate): the shared host's
@@ -287,14 +297,16 @@ def main():
             scaling[f"cores={ncores}"] = {
                 "cores": ncores, "sec": round(secs, 2),
                 "pairs_per_sec": round(n / secs, 1)}
-            if headline_from_scaling and ncores == CPUS:
-                results["queries"]["pair_scoring_bench"] = secs
-                results["scored_pairs"] = n
-                results["scored_pairs_per_sec"] = round(n / secs, 1)
             spark.stop()
             post = host_cpu_ceiling(ncores)
             ceiling_samples[ncores] = (pre, post)
             ceiling[ncores] = max(pre, post)
+            if headline_from_scaling and ncores == CPUS:
+                results["queries"]["pair_scoring_bench"] = secs
+                results["scored_pairs"] = n
+                results["scored_pairs_per_sec"] = round(n / secs, 1)
+                results["pair_scoring_ceiling_units_per_sec"] = {
+                    "pre": round(pre, 2), "post": round(post, 2)}
         scaling["host_cpu_units_per_sec"] = {
             str(nc): round(v, 2) for nc, v in ceiling.items()}
         scaling["host_cpu_units_pre_post"] = {
@@ -310,13 +322,13 @@ def main():
                 "job_vs_ceiling": round(min(job_eff / host_eff, 9.99), 3),
             })
         results["scaling"] = scaling
-        _write_scaling_md(scaling, results)
+        _write_scaling_md(scaling, results, headline_from_scaling)
 
     results["value"] = round(sum(results["queries"].values()), 2)
     print(json.dumps(results))
 
 
-def _write_scaling_md(scaling, results):
+def _write_scaling_md(scaling, results, headline_from_scaling):
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     rows = "\n".join(
         f"| local[{scaling[f'cores={nc}']['cores']}] "
@@ -324,7 +336,18 @@ def _write_scaling_md(scaling, results):
         f"| {scaling[f'cores={nc}']['sec']} "
         f"| {scaling[f'cores={nc}']['pairs_per_sec']} "
         f"| {scaling['host_cpu_units_per_sec'][str(nc)]} |"
-        for nc in (2, 8, 32))
+        for nc in SCALING_LEVELS)
+    if headline_from_scaling:
+        headline_note = f"""  The pair-scoring headline IS this
+section's cores={CPUS} measurement — same job, same session, same
+config, reported once — so the two numbers cannot diverge (two
+identically-configured fresh sessions minutes apart measured the same
+job up to 1.7x apart when the silicon drifted between them)."""
+    else:
+        headline_note = """  The pair-scoring headline was measured in
+its own fresh session with this section's config (CPUS is not one of
+this section's levels, so the measurements are separate — compare
+them only via their bracketing ceiling stamps)."""
     pair_rows = "\n".join(
         f"| {p['N']} -> {p['4N']} | {p['job_efficiency']} "
         f"| {p['host_cpu_ceiling_efficiency']} | {p['job_vs_ceiling']} |"
@@ -347,11 +370,7 @@ runs (one stamp before, one after, max kept — the least-contended
 capability estimate) so mid-harness silicon drift stamps the level it
 actually hit; the honest job metric is `job_vs_ceiling` = job
 efficiency / host-ceiling efficiency (1.0 means the pipeline scales
-as well as the hardware allows).  The pair-scoring headline IS this section's
-cores={CPUS} measurement — same job, same session, same config,
-reported once — so the two numbers cannot diverge (two
-identically-configured fresh sessions minutes apart measured the same
-job up to 1.7x apart when the silicon drifted between them).
+as well as the hardware allows).{headline_note}
 
 | config | cores | wall sec | scored pairs/sec | host raw-CPU units/s |
 |---|---|---|---|---|

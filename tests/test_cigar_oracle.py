@@ -112,24 +112,29 @@ from hypothesis import strategies as st  # noqa: E402
 _TEXT = st.text(alphabet="abcde", min_size=1, max_size=40)
 
 
+@pytest.fixture(scope="module")
+def prop_dir(tmp_path_factory):
+    # one pytest-managed dir for ALL hypothesis examples (_run
+    # overwrites its parquet in place) — per-example mkdtemp would
+    # leak 30 /tmp dirs every suite run
+    return tmp_path_factory.mktemp("cigar_prop")
+
+
 @settings(max_examples=30, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(q=_TEXT, t=_TEXT)
-def test_certificate_property_random_paths(q, t):
+def test_certificate_property_random_paths(prop_dir, q, t):
     """Property: every kernel-produced NW path certifies, and bumping
     the first run length (which breaks the consumption totals by
     construction) is always flagged — hypothesis-shrunk counterexamples
     would localize any certificate/kernel disagreement."""
-    import pathlib
     import re
-    import tempfile
 
-    d = pathlib.Path(tempfile.mkdtemp(prefix="cigar_prop_"))
     cigar = kernel.align(q, t, mode="NW", task="path")["cigar"]
-    got = _run(d, [(0, 1, q, t, cigar)])
+    got = _run(prop_dir, [(0, 1, q, t, cigar)])
     assert got[0][1] == cigar
 
     m = re.match(r"(\d+)", cigar)
     bad = str(int(m.group(1)) + 1) + cigar[m.end():]
-    got = _run(d, [(0, 1, q, t, bad)])
+    got = _run(prop_dir, [(0, 1, q, t, bad)])
     assert got[0][1] == "!invalid"

@@ -22,13 +22,8 @@ def test_spark_submit_multi_executor_ship(spark, tmp_path):
     # tiny corpus: 20 planted clusters — enough to exercise every stage
     tpath = ensure_transcripts_parquet(spark, "tiny")
 
-    import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "edlib_spark_tools_package_ship",
-        os.path.join(REPO, "tools", "package.py"))
-    pkg = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(pkg)
-    zip_path = pkg.build(str(tmp_path / "edlib_spark.zip"))
+    from conftest import load_tools_package
+    zip_path = load_tools_package().build(str(tmp_path / "edlib_spark.zip"))
 
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     out_dir = tmp_path / "run"

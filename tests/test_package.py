@@ -23,17 +23,9 @@ def _repo():
 
 
 def _tools():
-    # Loaded by explicit file path so this module never touches
-    # sys.path at all (round-3 advice: a path insert — even a lazy
-    # one — could shadow an installed edlib_spark/tools for every
-    # test that runs after it).
-    import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "edlib_spark_tools_package",
-        os.path.join(_repo(), "tools", "package.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    # shared file-path loader (no sys.path mutation) — see conftest
+    from conftest import load_tools_package
+    return load_tools_package()
 
 
 # The probe asserts distances exactly but ROUND-TRIPS the CIGAR

@@ -126,42 +126,13 @@ constraint (the Spark-free ceiling itself only scales ~0.5 from 4 to
 BENCH/BASELINE.md, whose local[N] thread-parallelism study this
 complements with real executor processes.
 
-## spark-submit ship-path demonstration (round 4, verified)
+Ship-path, resume, wheel-vs-zip, and streaming-on-cluster evidence is
+static (not regenerated by this tool, so it can never be re-stamped
+"current" without re-verification): see BENCH/CLUSTER_SHIP.md; the
+spark-submit path itself is held green by tests/test_cluster_ship.py.
 
-The FULL checkpointed pipeline also runs via literal spark-submit on
-this multi-executor cluster — every stage (canonical, blocks,
-candidate_pairs, scored_pairs, edges, clusters) checkpointed with
-per-partition lineage manifests, and the 'small' corpus's 300 planted
-clusters recovered exactly:
-
-    spark-submit --master "local-cluster[2,2,2304]" \\
-        --py-files dist/edlib_spark.zip \\
-        tools/run_linkage_job.py --input data/transcripts_small.parquet \\
-        --output /tmp/lc_run --run-id lc1
-
-Resume on the cluster: re-submitting the identical job with the same
---run-id completes in well under a minute on 2 executors, returning
-the same clusters with the FIRST run's stage manifests intact (all
-six stages read back from their checkpoints rather than recomputed) —
-the RunCatalog resume contract holding under real executor JVMs, not
-just local mode.  Held green by tests/test_cluster_ship.py.
-
-Ship-artifact division of labor (probed): passing the WHEEL via
---py-files fails on Spark 4.1 — executor Python workers do not add
-.whl files to their sys.path (ModuleNotFoundError in the UDF
-deserializer), so the zip is the --py-files artifact and the wheel is
-the cluster-image artifact (pip install, proven offline in
-tests/test_package.py) — exactly the split the README documents.
-
-Stateful streaming on the cluster (probed, round 4): the
-applyInPandasWithState canonicalizer ran on local-cluster[2,2,2304]
-with the zip-shipped engine — two micro-batches, state carried across
-them on executor-side state stores, correct ordered canonical rows
-emitted on the end markers.  The streaming surface is not a
-local-mode-only artifact.
-
-Reproduce: `python tools/cluster_scale_bench.py` (scaling) and the
-spark-submit line above (ship path).  Host-silicon health check
+Reproduce: `python tools/cluster_scale_bench.py`.  Host-silicon health
+check
 before trusting a sample: the two levels' bracketing stamps must be
 comparable — one observed sample had the 8-executor phase run on a
 host window that delivered LESS absolute throughput at 16 procs than

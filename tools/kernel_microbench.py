@@ -173,10 +173,11 @@ column are only comparable across runs via these stamps.
 {rows}
 
 Ratios >1 mean we are faster per core.  The engine's unit of scale is
-the cluster, not the core: the same kernel runs at 386k-713k scored
-pairs/sec aggregate on local[32] (BENCH_r*.json `scored_pairs_per_sec`
-at ~1 kB transcript pairs, k=0.2·len, ceiling-stamped), with the
-N→4N scaling evidence in BENCH/BASELINE.md.
+the cluster, not the core: the same kernel's aggregate local[32]
+scoring throughput is recorded per-sample in BENCH/BASELINE.md's
+scaling table (recent ceiling-stamped samples 469k-861k pairs/s at
+~1 kB transcript pairs, k=0.2·len) and on real executor JVMs in
+BENCH/CLUSTER_SCALE.md.
 
 Reproduce: `python tools/kernel_microbench.py`
 """)
