@@ -29,7 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # parallelism levels of the scaling section — the single source for
-# the loop, the headline-unification test, and the evidence tables
+# the loop, the headline-unification check in main() (CPUS in
+# SCALING_LEVELS => the headline IS that level's measurement), and
+# the evidence tables
 SCALING_LEVELS = (2, 8, 32)
 # bench-scale pair table (~15k clusters -> a few million candidate
 # pairs): big enough that the scoring stage is compute-bound and the

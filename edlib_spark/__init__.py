@@ -9,11 +9,17 @@ Public surface:
 """
 
 from .batch import batch_edit_distance
-from .functions.alignment import (align_expr, edit_distance,
-                                  nice_alignment, norm_distance)
 from .kernel import align
 
 __version__ = "0.4.0"
+
+# The Column API needs pyspark + pandas, which the wheel declares only
+# under the [spark] extra (cluster images usually provide them); the
+# kernel/batch surface above is numpy-only.  Resolve the Spark names
+# lazily (PEP 562) so `import edlib_spark` — and the exact-aligner use
+# case — work from a bare `pip install edlib-spark`.
+_SPARK_API = ("align_expr", "edit_distance", "nice_alignment",
+              "norm_distance")
 
 __all__ = [
     "align",
@@ -24,3 +30,15 @@ __all__ = [
     "norm_distance",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    if name in _SPARK_API:
+        from .functions import alignment
+        return getattr(alignment, name)
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_SPARK_API))

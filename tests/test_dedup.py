@@ -127,16 +127,16 @@ def test_cosine_neardup_duplicate_ids_no_self_pairs(spark):
 
 def test_minhash_hot_block_salting_invariance(spark):
     """Adversarial skew through the GRADED dedup path: plant one hot
-    LSH bucket (1,200 identical docs -> every band key collides ->
-    ~719k candidate pairs from single block keys) and run
+    LSH bucket (800 identical docs -> every band key collides ->
+    C(800,2) = 319,600 candidate pairs from single block keys) and run
     minhash_neardup_pairs end-to-end with triangular salting enabled
     (default thresholds) vs disabled.  Asserts (a) the two outputs are
     identical (count + order-insensitive checksum -- salting must be
     invisible in the result), (b) the pair set is exactly complete
-    (C(1200,2): no pair lost at a salt-cell boundary), and (c) the
+    (C(800,2): no pair lost at a salt-cell boundary), and (c) the
     salted plan's per-cell work is bounded: max hash-group size stays
     ~salt_group_size, so no task sees more than ~group_size^2 pairs
-    where the unsalted plan puts all 719,400 in one task.
+    where the unsalted plan puts all 319,600 in one task.
     BENCH/SKEW.md carries the wall-clock version of this experiment at
     16k/4k members."""
     hot_n, group_size = 800, 128

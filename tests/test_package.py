@@ -115,6 +115,60 @@ def test_wheel_is_reproducible(tmp_path):
         assert fa.read() == fb.read()
 
 
+_NUMPY_ONLY_PROBE = r"""
+import sys
+art_path = sys.argv[1]
+sys.path.insert(0, art_path)
+
+# simulate the wheel's declared dependency set (numpy only): any import
+# of pyspark/pandas/pyarrow fails exactly as on a bare install
+class _Block:
+    BLOCKED = ("pyspark", "pandas", "pyarrow")
+    def find_spec(self, name, path=None, target=None):
+        if name.split(".")[0] in self.BLOCKED:
+            raise ModuleNotFoundError(f"No module named {name!r} (blocked)",
+                                      name=name)
+        return None
+sys.meta_path.insert(0, _Block())
+for _m in list(sys.modules):
+    if _m.split(".")[0] in _Block.BLOCKED:
+        del sys.modules[_m]
+
+import edlib_spark
+assert art_path in edlib_spark.__file__, edlib_spark.__file__
+assert edlib_spark.align("kitten", "sitting")["editDistance"] == 3
+assert list(edlib_spark.batch_edit_distance(["ab"], ["axb"])) == [1]
+# the Spark Column API must fail only at ACCESS time, with the real cause
+try:
+    edlib_spark.edit_distance
+except ModuleNotFoundError:
+    pass
+else:
+    raise AssertionError("edit_distance resolved without pyspark")
+print("NUMPY_ONLY_OK")
+"""
+
+
+def test_wheel_numpy_only_import(tmp_path):
+    """pyproject declares numpy as the only hard dependency; prove the
+    installed wheel imports and computes under exactly that set (the
+    Spark Column API degrades to an access-time ModuleNotFoundError)."""
+    whl = _tools().build_wheel(str(tmp_path))
+    target = tmp_path / "site"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [sys.executable, "-m", "pip", "install", "--quiet", "--no-index",
+         "--no-deps", "--target", str(target), whl],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    proc = subprocess.run(
+        [sys.executable, "-c", _NUMPY_ONLY_PROBE, str(target)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "NUMPY_ONLY_OK" in proc.stdout
+
+
 def test_wheel_version_in_sync(tmp_path):
     """All three version surfaces resolve to the one source of truth
     (edlib_spark.__version__): the wheel builder parses it, and

@@ -9,10 +9,11 @@ dist/edlib_spark.zip via spark.submit.pyFiles, so this run also
 exercises the ship path end-to-end on every executor's Python workers.
 
 The job is bench.py's scoring_job (batched Myers NW over the prebuilt
-candidate-pair table), measured warm best-of-3 at 2 executors and at
-8 executors (2 cores each), with Spark-free host-CPU ceiling stamps
-BRACKETING each level at the matching process count.  Writes
-BENCH/CLUSTER_SCALE.md and prints one JSON line.
+candidate-pair table), measured warm best-of-3 at 1/2/4/8 executors
+(2 cores each) — two N->4N executor pairs, 1->4 and 2->8 — with
+Spark-free host-CPU ceiling stamps BRACKETING each level at the
+matching process count.  Writes BENCH/CLUSTER_SCALE.md and prints one
+JSON line.
 
 Usage: python tools/cluster_scale_bench.py
 """

@@ -10,7 +10,10 @@ is independently re-derived:
 * SAMPLED (pair-level queries — scored_pairs_nw, match_edges,
   doc_minhash_neardup): both sides restrict to the same deterministic
   pair stratum, substr(md5(id_a || '|' || id_b), 1, 2) <= XS_STRATUM
-  (default '07' = 8/256 ~ 3.1%).  Spark filters its full output;
+  (default '07' = 8/256 ~ 3.1%).  Spark filters its full output
+  (for the two queries that also feed cluster certificates, the full
+  output is written once to the side table and the sampled check
+  reads it back filtered — one execution, no lost independence);
   DuckDB pushes the identical predicate below its expensive
   levenshtein / list_intersect projection, so the oracle recomputes
   the stratum EXHAUSTIVELY and the hashes must match exactly.  md5 of
@@ -40,11 +43,11 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
-from check_contract import TABLES, frame_hash  # noqa: E402
+from check_contract import (TABLES, frame_hash, make_duckdb_views,  # noqa: E402,F401
+                            parse_only, run_checks)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 STRATUM = os.environ.get("XS_STRATUM", "07")
@@ -76,6 +79,12 @@ def build_overrides(spark, sf_dir):
 
     edge_sql_cache: dict[str, str] = {}
 
+    # The two expensive edge producers run ONCE each: the full output
+    # is written to the certificate side table, the sampled check reads
+    # it back with the stratum filter (both sides are Spark-derived, so
+    # the reread loses no independence — same convention as the
+    # training edges below), and the cluster certificates project
+    # id_a/id_b from the same table.
     def match_edge_sql() -> str:
         if "events" not in edge_sql_cache:
             edge_sql_cache["events"] = _write_edges(
@@ -86,8 +95,7 @@ def build_overrides(spark, sf_dir):
     def doc_edge_sql() -> str:
         if "docs" not in edge_sql_cache:
             edge_sql_cache["docs"] = _write_edges(
-                dc.doc_minhash_neardup(spark, sf_dir)
-                  .select("id_a", "id_b"),
+                dc.doc_minhash_neardup(spark, sf_dir),
                 f"{DATA}/xs_doc_edges.parquet")
         return edge_sql_cache["docs"]
 
@@ -110,13 +118,15 @@ def build_overrides(spark, sf_dir):
                                    _stratum_sql("p.id_a", "p.id_b")),
             sampled),
         "match_edges": (
-            lambda: dc.match_edges_events(spark, sf_dir)
-                      .where(_stratum_col()),
+            lambda: (match_edge_sql() and
+                     spark.read.parquet(f"{DATA}/xs_event_edges.parquet")
+                          .where(_stratum_col())),
             lambda: dc._sql_edges(_stratum_sql("p.id_a", "p.id_b")),
             sampled),
         "doc_minhash_neardup": (
-            lambda: dc.doc_minhash_neardup(spark, sf_dir)
-                      .where(_stratum_col()),
+            lambda: (doc_edge_sql() and
+                     spark.read.parquet(f"{DATA}/xs_doc_edges.parquet")
+                          .where(_stratum_col())),
             lambda: dc._sql_minhash_neardup(
                 _stratum_sql("a.doc_id", "b.doc_id")),
             sampled),
@@ -179,63 +189,15 @@ def main():
     spark = get_spark("cross-scale-check", master="local[16]",
                       shuffle_partitions=32)
     con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    make_duckdb_views(con, SF_DIR)
 
     qs = dict(entrymod.queries())
     oracles = entrymod.oracle_sql()
     over = build_overrides(spark, SF_DIR)
     qs["training_edges_sampled"] = None  # supporting check, spark in over
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    failures = 0
-    for name in qs:
-        if only and name not in only:
-            continue
-        tag = "full oracle"
-        t0 = time.perf_counter()
-        try:
-            if name in over:
-                spark_fn, oracle_fn, tag = over[name]
-                sdf = spark_fn()
-            else:
-                sdf = qs[name](spark, SF_DIR)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {exc}", flush=True)
-            failures += 1
-            continue
-        t_spark = time.perf_counter() - t0
-        if name not in over and name not in oracles:
-            # legal at gate scale too (check_contract prints the same)
-            print(f"rows  {name}: {len(srows)} rows "
-                  f"({t_spark:.1f}s) [no oracle]", flush=True)
-            continue
-        t0 = time.perf_counter()
-        try:
-            sql = oracle_fn() if name in over else oracles[name]
-            res = con.execute(sql)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {exc}", flush=True)
-            failures += 1
-            continue
-        t_duck = time.perf_counter() - t0
-        ok_cols = sorted(scols) == sorted(dcols)
-        sh, dh = frame_hash(scols, srows), frame_hash(dcols, drows)
-        ok = ok_cols and len(srows) == len(drows) and sh == dh
-        failures += 0 if ok else 1
-        print(f"{'OK  ' if ok else 'FAIL'}  {name} [{tag}]: "
-              f"spark={len(srows)} duck={len(drows)} "
-              f"cols={'=' if ok_cols else f'{scols} vs {dcols}'} "
-              f"hash={'=' if sh == dh else f'{sh} vs {dh}'} "
-              f"({t_spark:.1f}s spark, {t_duck:.1f}s oracle)", flush=True)
+    only = parse_only(sys.argv, qs)
+    n, failures = run_checks(spark, con, qs, oracles, SF_DIR, only, over)
     spark.stop()
-    n = len([k for k in qs if not only or k in only])
     print(f"SUMMARY: {n} checks, {failures} failures at {SF_DIR} "
           f"(stratum <= '{STRATUM}')")
     sys.exit(1 if failures else 0)
