@@ -3,9 +3,11 @@
 Plan shape (deliberate):
   pairs (id_a, id_b)
     join canon (broadcast when small)            -- texts attached twice
-    filter abs(len_a - len_b) <= k               -- the reference's
+    filter on the mode's length lower bound      -- the reference's
         k < |tlen-qlen| shortcut (edlib.cpp:744-747) lifted to a Catalyst
-        predicate: pairs are pruned JVM-side before any Python runs
+        predicate (NW: |len_a-len_b| <= k; HW/SHW: len_a-len_b <= k,
+        one-sided because the target end/start is free): pairs are
+        pruned JVM-side before any Python runs
     repartition + sortWithinPartitions(max_len)  -- Arrow batches get
         similar-length pairs (numpy padding waste ~ max-min in batch)
     edit_distance pandas UDF (batched Myers)     -- per-pair k bound
@@ -18,6 +20,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.alignment import edit_distance, norm_distance
+
+
+def _length_prune(mode: str, k):
+    """Mode-correct length lower bound, lifted to a Catalyst predicate.
+
+    NW: d >= |len_a - len_b| (the reference's k < |tLen-qLen| shortcut,
+    edlib.cpp:744-747 — scoped to myersCalcEditDistanceNW there, so it
+    must be scoped to NW here too).  HW/SHW: the query (text_a) is
+    always fully consumed but the target has a free end (and start,
+    for HW), so the only length bound is d >= len_a - len_b — a short
+    query inside a much longer target can still be a 0-distance match
+    and must NOT be pruned.
+    """
+    diff = F.col("len_a") - F.col("len_b")
+    return (F.abs(diff) <= k) if mode == "NW" else (diff <= k)
 
 
 def score_pairs(pairs: DataFrame, canon: DataFrame, tau: float = 0.2,
@@ -33,7 +50,7 @@ def score_pairs(pairs: DataFrame, canon: DataFrame, tau: float = 0.2,
 
     max_len = F.greatest("len_a", "len_b")
     k = F.ceil(F.lit(float(tau)) * max_len).cast("int")
-    df = df.where(F.abs(F.col("len_a") - F.col("len_b")) <= k)
+    df = df.where(_length_prune(mode, k))
     if length_sort:
         df = df.sortWithinPartitions(max_len)
 

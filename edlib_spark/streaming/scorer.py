@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.alignment import edit_distance, norm_distance
+from ..operators.scoring import _length_prune
 
 
 def score_pair_stream(pairs: DataFrame, tau: float = 0.2,
@@ -35,7 +36,9 @@ def score_pair_stream(pairs: DataFrame, tau: float = 0.2,
         df = df.withColumn("len_b", F.length("text_b"))
     max_len = F.greatest("len_a", "len_b")
     k = F.ceil(F.lit(float(tau)) * max_len).cast("int")
-    df = df.where(F.abs(F.col("len_a") - F.col("len_b")) <= k)
+    # mode-correct length prune (NW two-sided, HW/SHW one-sided) —
+    # shared with the batch scorer
+    df = df.where(_length_prune(mode, k))
     df = df.withColumn("edit_distance",
                        edit_distance(F.col("text_a"), F.col("text_b"),
                                      mode=mode, k=k))

@@ -130,3 +130,46 @@ def test_cosine_neardup_has_no_cross_join(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "FlatMapGroupsInPandas" in p, p
+
+
+def test_hw_shw_scoring_keeps_infix_and_prefix_matches(spark):
+    """The JVM length prune must be mode-correct: the reference's
+    k < |tLen-qLen| shortcut is scoped to NW (edlib.cpp:744-747, inside
+    myersCalcEditDistanceNW).  In HW/SHW the target end (and start, for
+    HW) is free, so a short query inside / at the head of a much longer
+    target is a 0-distance match and must survive the prune; only
+    len_a - len_b > k is safely prunable (query longer than target)."""
+    from edlib_spark.operators.scoring import score_pairs
+
+    needle = "the quick brown fox"
+    hay = "padpadpad " * 30 + needle + " tailtail " * 30
+    prefix_hay = needle + " trailer " * 60
+    canon = spark.createDataFrame(
+        [("q", needle, len(needle)),
+         ("h", hay, len(hay)),
+         ("p", prefix_hay, len(prefix_hay)),
+         ("long_q", "z" * 400, 400),
+         ("short_t", "z" * 10, 10)],
+        "conv_id string, full_text string, text_len int")
+    pairs = spark.createDataFrame(
+        [("q", "h"), ("q", "p"), ("long_q", "short_t")],
+        "id_a string, id_b string")
+
+    hw = {(r.id_a, r.id_b): r.edit_distance
+          for r in score_pairs(pairs, canon, tau=0.2, mode="HW").collect()}
+    assert hw[("q", "h")] == 0, hw       # infix match survives the prune
+    assert hw[("q", "p")] == 0, hw
+    # query 390 chars longer than the target: provably > k, pruned
+    assert ("long_q", "short_t") not in hw, hw
+
+    shw = {(r.id_a, r.id_b): r.edit_distance
+           for r in score_pairs(pairs, canon, tau=0.2,
+                                mode="SHW").collect()}
+    assert shw[("q", "p")] == 0, shw     # prefix match survives
+    assert ("long_q", "short_t") not in shw, shw
+
+    # NW keeps the reference's two-sided prune: both mismatched-length
+    # pairs are pruned JVM-side
+    nw = {(r.id_a, r.id_b) for r in
+          score_pairs(pairs, canon, tau=0.2, mode="NW").collect()}
+    assert nw == set(), nw
