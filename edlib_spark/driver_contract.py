@@ -972,6 +972,46 @@ def hw_distance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("bigint").alias("edit_distance")))
 
 
+def scored_pairs_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Infix (HW) linkage through the REAL operators.scoring.score_pairs
+    surface: a 40-char needle cut from each document is scored against
+    the next document's text (first 400 chars) with mode="HW" and the
+    linkage threshold k = ceil(TAU * max_len).  Every pair has
+    len_a << len_b, so the NW two-sided length prune
+    (|len_a - len_b| <= k) would wrongly drop ALL of them — the
+    reference scopes that shortcut to NW (edlib.cpp:744-747, inside
+    myersCalcEditDistanceNW); this query pins the mode-correct
+    one-sided prune (len_a - len_b <= k) at the graded surface.
+    Oracle: the free-start Levenshtein DP (_sql_hw_dp) with the same
+    prune, k truncation, and norm_distance projection."""
+    from .operators.scoring import score_pairs
+    docs = _read(spark, sf_dir, "documents")
+    needles = docs.select(
+        F.concat(F.lit("q"), F.col("doc_id").cast("string"))
+         .alias("conv_id"),
+        F.substring("text", 10, 40).alias("full_text"))
+    targets = docs.select(
+        F.concat(F.lit("t"), F.col("doc_id").cast("string"))
+         .alias("conv_id"),
+        F.substring("text", 1, 400).alias("full_text"))
+    canon = (needles.unionByName(targets)
+             .withColumn("text_len", F.length("full_text")))
+    # needle of doc i vs target of doc i+1; the inner join inside
+    # score_pairs drops the last doc's pair (no such target) exactly
+    # like the oracle's b.doc_id = a.doc_id + 1 join
+    pairs = docs.select(
+        F.concat(F.lit("q"), F.col("doc_id").cast("string")).alias("id_a"),
+        F.concat(F.lit("t"), (F.col("doc_id") + 1).cast("string"))
+         .alias("id_b"))
+    return (score_pairs(pairs, canon, tau=TAU, mode="HW")
+            .select("id_a", "id_b",
+                    F.col("len_a").cast("bigint").alias("len_a"),
+                    F.col("len_b").cast("bigint").alias("len_b"),
+                    F.col("edit_distance").cast("bigint")
+                     .alias("edit_distance"),
+                    "norm_distance"))
+
+
 def shw_distance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHW (prefix) distances over UNTRUNCATED targets.  Oracle-checked
     via a length-bound argument: lev(q, t[:j]) >= j - |q| and the empty
@@ -1139,6 +1179,42 @@ _SQL_HW_DOCUMENTS = _sql_hw_dp(
            CAST(id_b AS BIGINT) AS id_b,
            CAST(min(d) AS BIGINT) AS edit_distance
     FROM dcol GROUP BY id_a, id_b
+""")
+
+
+# scored_pairs_hw oracle: the same free-start DP, then the scorer's
+# exact projection — the mode-correct one-sided prune
+# (len_a - len_b <= k, vacuously true here but kept for byte-equal
+# semantics), k-truncation to -1, and norm_distance = d / max_len
+# (NULL when truncated).  One double division of exact ints, so Spark
+# and DuckDB agree bit-for-bit.
+_SQL_SCORED_HW = _sql_hw_dp(
+    """
+        SELECT 'q' || CAST(a.doc_id AS VARCHAR) AS id_a,
+               't' || CAST(b.doc_id AS VARCHAR) AS id_b,
+               a.text[10:49] AS ta, b.text[1:400] AS tb,
+               length(a.text[10:49]) AS q
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""",
+    f"""
+    , best AS (
+        SELECT id_a, id_b,
+               any_value(q) AS len_a,
+               length(any_value(tb)) AS len_b,
+               min(d) AS d
+        FROM dcol GROUP BY id_a, id_b),
+    proj AS (
+        SELECT *, CAST(ceil({TAU} * greatest(len_a, len_b)) AS INT) AS k
+        FROM best)
+    SELECT id_a, id_b,
+           CAST(len_a AS BIGINT) AS len_a,
+           CAST(len_b AS BIGINT) AS len_b,
+           CAST(CASE WHEN d <= k THEN d ELSE -1 END AS BIGINT)
+               AS edit_distance,
+           CASE WHEN d <= k
+                THEN CAST(d AS DOUBLE) / greatest(len_a, len_b)
+                ELSE NULL END AS norm_distance
+    FROM proj
+    WHERE len_a - len_b <= k
 """)
 
 
@@ -2384,6 +2460,7 @@ def build_queries():
         "doc_fingerprint": doc_fingerprint,
         "embedding_lsh_buckets": embedding_lsh_buckets,
         "hw_distance_documents": hw_distance_documents,
+        "scored_pairs_hw": scored_pairs_hw,
         "shw_distance_documents": shw_distance_documents,
         "shw_distance_exact": shw_distance_exact,
         "hw_distance_exact": hw_distance_exact,
@@ -2460,6 +2537,7 @@ def build_oracle_sql():
         "align_path_documents": _SQL_ALIGN_PATH,
         "shw_distance_documents": _SQL_SHW_DOCUMENTS,
         "hw_distance_documents": _SQL_HW_DOCUMENTS,
+        "scored_pairs_hw": _SQL_SCORED_HW,
         "hw_locations_documents": _SQL_HW_LOCATIONS_DOCUMENTS,
         # every contract query is oracle-backed: the untruncated HW
         # queries run the full free-start Levenshtein DP as a recursive

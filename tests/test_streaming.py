@@ -53,6 +53,24 @@ def test_stream_scoring_equals_batch(spark, tmp_path):
     assert ("a", "c") not in got
 
 
+def test_stream_scoring_hw_keeps_infix_pairs(spark):
+    """The streaming scorer shares the batch scorer's mode-correct
+    length prune: in HW a short needle inside a much longer target is
+    a 0-distance match and must survive (the NW two-sided bound would
+    drop it); a needle provably LONGER than its target by more than k
+    is pruned JVM-side."""
+    needle = "jumps over the lazy"
+    hay = "pad " * 60 + needle + " tail" * 40
+    rows = [("n", "h", needle, hay),
+            ("n2", "t2", "z" * 300, "z" * 10)]
+    pairs = spark.createDataFrame(
+        [(ia, ib, ta, tb, len(ta), len(tb)) for ia, ib, ta, tb in rows],
+        PAIR_SCHEMA)
+    got = {(r["id_a"], r["id_b"]): r["edit_distance"]
+           for r in score_pair_stream(pairs, tau=0.2, mode="HW").collect()}
+    assert got == {("n", "h"): 0}, got
+
+
 def test_stream_resume_processes_new_files_only(spark, tmp_path):
     """Checkpointed restart: previously-processed input is not rescored."""
     inp = str(tmp_path / "in")

@@ -1,4 +1,4 @@
-"""Cross-scale correctness gate: hash-verify ALL 48 contract queries
+"""Cross-scale correctness gate: hash-verify ALL contract queries
 at a second scale (default sf0.1), closing the round-3 hole where 8
 queries were hash-verified only at gate scale because their DuckDB
 oracle is quadratic at 5k docs (exhaustive all-pairs Jaccard; 424k
