@@ -27,6 +27,26 @@ def test_kernel_distance_matches_oracle(q, t, mode):
 
 
 @settings(max_examples=60, **COMMON)
+@given(q=TEXT, t=TEXT, mode=MODES)
+def test_length_prune_lower_bound_is_sound(q, t, mode):
+    """Soundness of the scorers' JVM-side length prune
+    (operators/scoring._length_prune): a pair may be pruned when its
+    length-derived lower bound already exceeds k, so the bound must
+    never exceed the true distance.  NW: d >= |len(q) - len(t)| (the
+    reference's shortcut, edlib.cpp:744-747).  HW/SHW: the target end
+    (and start, for HW) is free, so only d >= len(q) - len(t) holds —
+    the two-sided bound is FALSE there (a short query inside a long
+    target can reach 0), which is why the prune is mode-split."""
+    d = kernel.align(q, t, mode=mode)["editDistance"]
+    if mode == "NW":
+        assert d >= abs(len(q) - len(t))
+    else:
+        assert d >= len(q) - len(t)
+        # and the two-sided bound must be violable: witnessed by the
+        # fixed corpus test (test_plans.py), not asserted per-example
+
+
+@settings(max_examples=60, **COMMON)
 @given(q=TEXT.filter(bool), t=TEXT.filter(bool), mode=MODES,
        delta=st.integers(-1, 1))
 def test_k_bound_contract_property(q, t, mode, delta):
