@@ -33,6 +33,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # SCALING_LEVELS => the headline IS that level's measurement), and
 # the evidence tables
 SCALING_LEVELS = (2, 8, 32)
+# interleaved measurement rounds for the scaling section: each round
+# visits every level back-to-back so per-round N->4N ratios cancel the
+# host's silicon drift (see the scaling block in main())
+SCALING_ROUNDS = 3
 # bench-scale pair table (~15k clusters -> a few million candidate
 # pairs): big enough that the scoring stage is compute-bound and the
 # N-vs-4N scaling measurement is not startup-noise-dominated.
@@ -273,55 +277,94 @@ def main():
             results["pair_scoring_cold_ceiling_units_per_sec"]
 
     if do_scaling:
-        scaling = {"pairs": []}
-        per_cores: dict[int, float] = {}
-        ceiling: dict[int, float] = {}
-        ceiling_samples: dict[int, tuple[float, float]] = {}
-        for ncores in SCALING_LEVELS:
-            # raw-CPU ceiling at the same process count, BRACKETING
-            # this level's Spark runs (pre + post, keep the max = the
-            # least-contended capability estimate): the shared host's
-            # deliverable silicon drifts within a single harness run,
-            # and a ceiling sampled only at the end mis-stamps levels
-            # measured minutes earlier (the documented 0.58-efficiency
-            # outlier was a 2-core phase on faster silicon than its
-            # 8-core phase — bracketing stamps make that visible).
-            pre = host_cpu_ceiling(ncores)
-            spark = run_at(f"local[{ncores}]", 64)
-            # warm: JVM + python workers + parquet footer cache,
-            # then best-of-3 timed runs to shed scheduler noise
-            scoring_job(spark)
-            secs, n = scoring_job(spark)
-            for _ in range(2):
+        # INTERLEAVED rounds (the kernel-microbench trick): each round
+        # visits every level back-to-back, so a per-round N->4N ratio
+        # compares measurements taken ~a minute apart instead of
+        # minutes apart — the shared host's silicon drift hits both
+        # sides of the ratio nearly equally and cancels (the
+        # documented 0.58-efficiency outlier was a 2-core phase on
+        # visibly faster silicon than its 8-core phase measured
+        # minutes later; sequential per-level best-of-3 cannot defuse
+        # that).  Every timed visit is still BRACKETED by its own
+        # Spark-free ceiling stamps (pre + post at the level's process
+        # count) so contended visits stay visible.
+        scaling = {"pairs": [], "rounds": SCALING_ROUNDS}
+        visits: dict[int, list[dict]] = {nc: [] for nc in SCALING_LEVELS}
+        for _rnd in range(SCALING_ROUNDS):
+            for ncores in SCALING_LEVELS:
+                pre = host_cpu_ceiling(ncores)
+                spark = run_at(f"local[{ncores}]", 64)
+                # warm: JVM + python workers + parquet footer cache,
+                # then best-of-2 timed runs (IDENTICAL at every level,
+                # so round-matched ratios stay apples-to-apples) to
+                # shed per-run scheduler noise within the visit
+                scoring_job(spark)
+                secs, n = scoring_job(spark)
                 s2, _n = scoring_job(spark)
                 secs = min(secs, s2)
-            per_cores[ncores] = n / secs
+                spark.stop()
+                post = host_cpu_ceiling(ncores)
+                visits[ncores].append(
+                    {"secs": secs, "n": n, "pre": pre, "post": post,
+                     "ceil": max(pre, post)})
+
+        per_cores: dict[int, float] = {}
+        ceiling: dict[int, float] = {}
+        for ncores in SCALING_LEVELS:
+            best = min(visits[ncores], key=lambda v: v["secs"])
+            per_cores[ncores] = best["n"] / best["secs"]
+            # per-level capability = least-contended stamp across all
+            # of this level's visit brackets
+            ceiling[ncores] = max(v["ceil"] for v in visits[ncores])
             scaling[f"cores={ncores}"] = {
-                "cores": ncores, "sec": round(secs, 2),
-                "pairs_per_sec": round(n / secs, 1)}
-            spark.stop()
-            post = host_cpu_ceiling(ncores)
-            ceiling_samples[ncores] = (pre, post)
-            ceiling[ncores] = max(pre, post)
+                "cores": ncores, "sec": round(best["secs"], 2),
+                "pairs_per_sec": round(per_cores[ncores], 1),
+                "sec_by_round": [round(v["secs"], 2)
+                                 for v in visits[ncores]]}
             if headline_from_scaling and ncores == CPUS:
-                results["queries"]["pair_scoring_bench"] = secs
-                results["scored_pairs"] = n
-                results["scored_pairs_per_sec"] = round(n / secs, 1)
+                results["queries"]["pair_scoring_bench"] = best["secs"]
+                results["scored_pairs"] = best["n"]
+                results["scored_pairs_per_sec"] = round(
+                    per_cores[ncores], 1)
                 results["pair_scoring_ceiling_units_per_sec"] = {
-                    "pre": round(pre, 2), "post": round(post, 2)}
+                    "pre": round(best["pre"], 2),
+                    "post": round(best["post"], 2)}
         scaling["host_cpu_units_per_sec"] = {
             str(nc): round(v, 2) for nc, v in ceiling.items()}
         scaling["host_cpu_units_pre_post"] = {
-            str(nc): [round(a, 2), round(b, 2)]
-            for nc, (a, b) in ceiling_samples.items()}
+            str(nc): [[round(v["pre"], 2), round(v["post"], 2)]
+                      for v in visits[nc]] for nc in SCALING_LEVELS}
+
+        def _median(xs):
+            s = sorted(xs)
+            m = len(s) // 2
+            return s[m] if len(s) % 2 else 0.5 * (s[m - 1] + s[m])
+
         for lo, hi in ((2, 8), (8, 32)):
-            job_eff = per_cores[hi] / (4 * per_cores[lo])
-            host_eff = ceiling[hi] / (4 * ceiling[lo])
+            # headline efficiencies are ROUND-MATCHED medians: the
+            # ratio within round r uses only round-r measurements (job
+            # and ceiling alike), so between-round drift cancels; the
+            # median across rounds sheds a single contended round.
+            job_by_round = [
+                (visits[hi][r]["n"] / visits[hi][r]["secs"])
+                / (4 * visits[lo][r]["n"] / visits[lo][r]["secs"])
+                for r in range(SCALING_ROUNDS)]
+            host_by_round = [
+                visits[hi][r]["ceil"] / (4 * visits[lo][r]["ceil"])
+                for r in range(SCALING_ROUNDS)]
+            vs_by_round = [j / h for j, h in
+                           zip(job_by_round, host_by_round)]
             scaling["pairs"].append({
                 "N": lo, "4N": hi,
-                "job_efficiency": round(job_eff, 3),
-                "host_cpu_ceiling_efficiency": round(host_eff, 3),
-                "job_vs_ceiling": round(min(job_eff / host_eff, 9.99), 3),
+                "job_efficiency": round(_median(job_by_round), 3),
+                "host_cpu_ceiling_efficiency": round(
+                    _median(host_by_round), 3),
+                "job_vs_ceiling": round(
+                    min(_median(vs_by_round), 9.99), 3),
+                "job_efficiency_by_round": [
+                    round(x, 3) for x in job_by_round],
+                "job_vs_ceiling_by_round": [
+                    round(min(x, 9.99), 3) for x in vs_by_round],
             })
         results["scaling"] = scaling
         _write_scaling_md(scaling, results, headline_from_scaling)
@@ -352,7 +395,8 @@ this section's levels, so the measurements are separate — compare
 them only via their bracketing ceiling stamps)."""
     pair_rows = "\n".join(
         f"| {p['N']} -> {p['4N']} | {p['job_efficiency']} "
-        f"| {p['host_cpu_ceiling_efficiency']} | {p['job_vs_ceiling']} |"
+        f"| {p['host_cpu_ceiling_efficiency']} | {p['job_vs_ceiling']} "
+        f"| {p['job_efficiency_by_round']} |"
         for p in scaling["pairs"])
     md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
 
@@ -367,31 +411,43 @@ vCPUs, but a raw-CPU microbenchmark (pure numpy uint64 bitops in N
 independent processes, no Spark, no I/O) shows the host delivers far
 less than 32 cores of silicon — parallel throughput saturates near
 ~10-12 effective cores.  The "host ceiling" column below is that
-Spark-free attainable scaling, sampled BRACKETING each level's Spark
-runs (one stamp before, one after, max kept — the least-contended
-capability estimate) so mid-harness silicon drift stamps the level it
-actually hit; the honest job metric is `job_vs_ceiling` = job
-efficiency / host-ceiling efficiency (1.0 means the pipeline scales
-as well as the hardware allows).{headline_note}
+Spark-free attainable scaling, sampled BRACKETING each timed visit
+(one stamp before, one after; per-level capability = max across the
+level's visit brackets — the least-contended estimate) so mid-harness
+silicon drift stays visible; the honest job metric is
+`job_vs_ceiling` = job efficiency / host-ceiling efficiency (1.0
+means the pipeline scales as well as the hardware allows).
 
-| config | cores | wall sec | scored pairs/sec | host raw-CPU units/s |
+**Interleaved rounds:** the levels are measured in {scaling['rounds']}
+interleaved rounds (2, 8, 32; 2, 8, 32; ...) — each visit is one warm
+run then best-of-2 timed runs, identical at every level — and the
+headline efficiencies are ROUND-MATCHED medians: each round's N->4N ratio uses
+only that round's job and ceiling measurements, taken back-to-back,
+so silicon drift between rounds cancels out of the ratio (the same
+drift-cancellation the kernel microbench uses; a sequential
+per-level design once measured a 2-core phase on visibly faster
+silicon than its 8-core phase minutes later, reading 0.58).  The
+per-round values are shown alongside so a contended round is visible
+rather than averaged away.{headline_note}
+
+| config | cores | wall sec (best) | scored pairs/sec | host raw-CPU units/s |
 |---|---|---|---|---|
 {rows}
 
-| N -> 4N | job efficiency | host ceiling efficiency | job / ceiling |
-|---|---|---|---|
+| N -> 4N | job efficiency | host ceiling efficiency | job / ceiling | job eff by round |
+|---|---|---|---|---|
 {pair_rows}
 
 Target: >= 0.8 scaling efficiency N -> 4N.  The shared host's
 deliverable silicon fluctuates between samples, so judge the job by
 `job / ceiling` (1.0 = the pipeline scales exactly as well as the
-hardware allowed in that sample).  Observed across repeated runs of
-this harness: 2 -> 8 job efficiency 0.58-0.98 (>= 0.8 in uncontended
-samples, peaking at 0.98; the 0.58 outlier came from a sample whose
-2-core phase ran on visibly faster silicon than its 8-core phase) at
-0.62-1.06x the simultaneously measured ceiling; 8 -> 32 job at
-0.59-1.60x the ceiling (> 1 because the job overlaps I/O with
-compute, which the pure-CPU ceiling cannot).
+hardware allowed in that round).  The 8 -> 32 pair saturates the
+host's ~10-12 effective cores, so its raw efficiency is necessarily
+low on this hardware; across harness runs its `job / ceiling` has
+ranged ~0.6-1.35 (above 1 in uncontended samples because the job
+overlaps I/O with compute, which the pure-CPU ceiling cannot; below
+1 when a 32-thread visit lands on a contended phase — the per-round
+columns above make such visits visible).
 
 Headline per-query seconds at sf={results['sf']}: see BENCH_r*.json.
 """
