@@ -20,9 +20,14 @@ Usage: python bench.py [--no-scaling]
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
+
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+                     # needs 'pd' in module globals under
+                     # `from __future__ import annotations`
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -201,6 +206,111 @@ def pipeline_section(spark) -> dict:
             "f1": round(m["metrics"]["f1"], 4)}
 
 
+def path_workload_section(spark, sf_dir) -> dict:
+    """Traceback workload (r4 verdict item 1): full NW task='path' over
+    the ~5k adjacent document pairs, vectorized align_expr (batch C
+    distances + per-pair scan banded at the known distance) vs the
+    pre-r5 per-row kernel.align loop, in two shapes:
+
+      * ``unbounded`` (k=-1): every pair needs a traceback — the
+        inherently per-pair part (reference edlib.cpp:931-1141) is
+        shared by both lanes, so this bounds the honest gain of
+        vectorizing only the distance phase.
+      * ``threshold`` (k = ceil(0.2*max_len), the pipeline's TAU
+        shape): the batch kernel prunes non-matches to -1 in C and the
+        Python kernel runs ONLY for survivors — the workload
+        align_expr is documented for.
+
+    Both lanes are checksum-compared (sum of cigar lengths + sum of
+    distances) before timing, so the speedup is measured on verified
+    identical output."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from edlib_spark import kernel
+    from edlib_spark.functions.alignment import (
+        ALIGN_RESULT_TYPE, align_expr,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def adjacent_pairs(rep: int):
+        # pin the joined input so the timed region measures alignment,
+        # not the join/scan; spread it so every core gets work (the sf
+        # dirs are single parquet files).  rep > 1 tiles the doc text
+        # to transcript-scale lengths (~2.4 KB at rep=8) — the shape
+        # the post-threshold path surface actually sees.
+        text = F.repeat(F.col("text"), rep) if rep > 1 else F.col("text")
+        a = docs.select(F.col("doc_id").alias("id_a"),
+                        text.alias("text_a"))
+        b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                        text.alias("text_b"))
+        return a.join(b, "id_a").repartition(2 * CPUS).localCheckpoint()
+
+    # rep=4 (~1.2 KB) keeps the direct-traceback regime (the 20-byte/
+    # cell saved-matrix stays under kernel._TRACEBACK_MEM_LIMIT) while
+    # making the per-row band scans compute-bound rather than
+    # Spark-floor-bound
+    pairs_long = adjacent_pairs(4)
+    n = pairs_long.count()
+    k_col_sql = ("CAST(ceil(0.2 * greatest(length(text_a), "
+                 "length(text_b))) AS INT)")
+
+    def legacy_udf(k_fn):
+        @pandas_udf(ALIGN_RESULT_TYPE)
+        def _legacy(q: pd.Series, t: pd.Series) -> pd.DataFrame:
+            rows = []
+            for qs, ts in zip(q, t):
+                r = kernel.align(qs or "", ts or "", mode="NW",
+                                 task="path", k=k_fn(qs or "", ts or ""),
+                                 max_alphabet=None)
+                rows.append((r["editDistance"], r["alphabetLength"],
+                             [(s, e) for s, e in r["locations"]],
+                             r["cigar"]))
+            return pd.DataFrame(
+                rows, columns=["editDistance", "alphabetLength",
+                               "locations", "cigar"])
+        return _legacy
+
+    def run(df, col):
+        row = (df.select(col.alias("r"))
+               .agg(F.sum(F.length("r.cigar")).cast("bigint").alias("c"),
+                    F.sum("r.editDistance").cast("bigint").alias("d"))
+               .collect()[0])
+        return (row["c"], row["d"])
+
+    out = {"pairs": n}
+    variants = {
+        "unbounded": (
+            pairs_long,
+            align_expr(F.col("text_a"), F.col("text_b"), mode="NW",
+                       task="path"),
+            legacy_udf(lambda q, t: -1)(
+                F.col("text_a"), F.col("text_b"))),
+        "threshold": (
+            pairs_long,
+            align_expr(F.col("text_a"), F.col("text_b"), mode="NW",
+                       task="path",
+                       k=F.expr(k_col_sql)),
+            # math.ceil(0.2 * L) replicates Spark's DOUBLE ceil
+            # bit-for-bit (0.2 is inexact in binary; integer ceil-div
+            # by 5 would disagree at multiples of 5)
+            legacy_udf(lambda q, t: math.ceil(0.2 * max(len(q),
+                                                        len(t))))(
+                F.col("text_a"), F.col("text_b"))),
+    }
+    for name, (df, vec_col, leg_col) in variants.items():
+        chk_v = run(df, vec_col)   # warm + checksum
+        chk_l = run(df, leg_col)
+        assert chk_v == chk_l, (name, chk_v, chk_l)
+        vec = min(_timed(lambda: run(df, vec_col))[0] for _ in range(2))
+        leg = min(_timed(lambda: run(df, leg_col))[0] for _ in range(2))
+        out[name] = {"vectorized_sec": round(vec, 2),
+                     "legacy_per_row_sec": round(leg, 2),
+                     "speedup": round(leg / vec, 2)}
+    return out
+
+
 def run_at(master: str, shuffle_partitions: int):
     from edlib_spark.session import get_spark
     spark = get_spark("edlib-spark-bench", master=master,
@@ -243,6 +353,15 @@ def main():
     pl_post = host_cpu_ceiling(CPUS)
     results["pipeline_ceiling_units_per_sec"] = {
         "pre": round(hq_post, 2), "post": round(pl_post, 2)}
+
+    # traceback workload: vectorized align_expr vs the pre-r5 per-row
+    # loop (r4 verdict item 1), own fresh session + own stamps
+    spark = run_at(f"local[{CPUS}]", 64)
+    results["path_workload"] = path_workload_section(spark, SF_DIR)
+    spark.stop()
+    pw_post = host_cpu_ceiling(CPUS)
+    results["path_workload_ceiling_units_per_sec"] = {
+        "pre": round(pl_post, 2), "post": round(pw_post, 2)}
 
     # pair scoring headline.  When the scaling section runs and CPUS
     # matches a scaling level, the headline IS that level's

@@ -1186,8 +1186,9 @@ _SQL_HW_DOCUMENTS = _sql_hw_dp(
 # exact projection — the mode-correct one-sided prune
 # (len_a - len_b <= k, vacuously true here but kept for byte-equal
 # semantics), k-truncation to -1, and norm_distance = d / max_len
-# (NULL when truncated).  One double division of exact ints, so Spark
-# and DuckDB agree bit-for-bit.
+# (NULL when truncated; denominator 1 when both sides are empty,
+# mirroring functions/alignment.norm_distance exactly).  One double
+# division of exact ints, so Spark and DuckDB agree bit-for-bit.
 _SQL_SCORED_HW = _sql_hw_dp(
     """
         SELECT 'q' || CAST(a.doc_id AS VARCHAR) AS id_a,
@@ -1211,7 +1212,9 @@ _SQL_SCORED_HW = _sql_hw_dp(
            CAST(CASE WHEN d <= k THEN d ELSE -1 END AS BIGINT)
                AS edit_distance,
            CASE WHEN d <= k
-                THEN CAST(d AS DOUBLE) / greatest(len_a, len_b)
+                THEN CAST(d AS DOUBLE) /
+                     CASE WHEN greatest(len_a, len_b) > 0
+                          THEN greatest(len_a, len_b) ELSE 1 END
                 ELSE NULL END AS norm_distance
     FROM proj
     WHERE len_a - len_b <= k
@@ -1683,6 +1686,89 @@ def align_path_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_side_table(sf_dir, _PATH_CIGARS_PATH,
                        lambda: out.select("id_a", "id_b", "cigar"))
     return out
+
+
+_PATH_CIGARS_STD_PATH = os.path.join(_REPO_ROOT, "data",
+                                     "path_cigars_std_current.parquet")
+
+_SQL_PATH_STD_PAIRS = """
+        SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+               CAST(b.doc_id AS BIGINT) AS id_b,
+               a.text AS text_a, b.text AS text_b,
+               CAST(0 AS BIGINT) AS lead_ctx
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE b.doc_id < 40
+"""
+
+# Standard-format oracle: the EXTENDED cigar rides the side table and
+# is replayed for validity+optimality exactly like _SQL_ALIGN_PATH;
+# the STANDARD form is then re-derived in pure SQL — collapse =/X to M
+# and merge adjacent same-op runs (gaps-and-islands on the run index),
+# matching the reference CLI's CIG_STD emitter
+# (apps/aligner/aligner.cpp:200-221, edlibAlignmentToCigar
+# edlib/src/edlib.cpp:303-350).
+_SQL_ALIGN_PATH_STD = _sql_cigar_replay(
+    _SQL_PATH_STD_PAIRS, _PATH_CIGARS_STD_PATH, f"""
+    , stdruns AS (
+        SELECT id_a, id_b, idx, rl,
+               CASE WHEN op IN ('=', 'X') THEN 'M' ELSE op END AS op_std,
+               idx - ROW_NUMBER() OVER (
+                   PARTITION BY id_a, id_b,
+                       CASE WHEN op IN ('=', 'X') THEN 'M' ELSE op END
+                   ORDER BY idx) AS isl
+        FROM ops
+    ), merged AS (
+        SELECT id_a, id_b, op_std,
+               CAST(SUM(rl) AS BIGINT) AS rl_std, MIN(idx) AS i0
+        FROM stdruns GROUP BY id_a, id_b, op_std, isl
+    ), stdc AS (
+        SELECT id_a, id_b,
+               string_agg(CAST(rl_std AS VARCHAR) || op_std, ''
+                          ORDER BY i0) AS cigar_std
+        FROM merged GROUP BY id_a, id_b
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(levenshtein(p.text_a, p.text_b) AS BIGINT)
+               AS edit_distance,
+           CASE WHEN {_SQL_CIGAR_VALID}
+                THEN s.cigar_std ELSE '!invalid' END AS cigar_std
+    FROM pairs p JOIN pc c USING (id_a, id_b)
+    JOIN checked ch USING (id_a, id_b)
+    JOIN stdc s USING (id_a, id_b)""")
+
+
+def align_path_std_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STANDARD-format CIGAR (M/I/D — the reference CLI's -f CIG_STD
+    switch, apps/aligner/aligner.cpp:200-221) through the align_expr
+    surface.  Oracle-backed (certificate, _SQL_ALIGN_PATH_STD): the
+    extended cigar for the same pairs rides the side table, DuckDB
+    replays it for validity+optimality against the raw texts, then
+    re-derives the standard collapse in SQL — so Spark's standard
+    formatting is checked against an independently verified optimal
+    path, not against itself."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.col("text").alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"),
+                    F.col("text").alias("text_b"))
+    joined = a.join(b, "id_a").where(F.col("id_b") < 40)
+    res_std = align_expr(F.col("text_a"), F.col("text_b"), mode="NW",
+                         task="path", cigar_format="standard")
+    res_ext = align_expr(F.col("text_a"), F.col("text_b"), mode="NW",
+                         task="path")
+    out = joined.select(F.col("id_a").cast("bigint").alias("id_a"),
+                        F.col("id_b").cast("bigint").alias("id_b"),
+                        res_std.alias("r"),
+                        res_ext.getField("cigar").alias("cigar_ext"))
+    _ensure_side_table(
+        sf_dir, _PATH_CIGARS_STD_PATH,
+        lambda: out.select("id_a", "id_b",
+                           F.col("cigar_ext").alias("cigar")))
+    return out.select("id_a", "id_b",
+                      F.col("r.editDistance").cast("bigint")
+                       .alias("edit_distance"),
+                      F.col("r.cigar").alias("cigar_std"))
 
 
 _GRAM_HASHES_PATH = os.path.join(_REPO_ROOT, "data",
@@ -2470,6 +2556,7 @@ def build_queries():
         "fasta_align_pairs": fasta_align_pairs,
         "nice_alignment_documents": nice_alignment_documents,
         "align_path_documents": align_path_documents,
+        "align_path_std_documents": align_path_std_documents,
         "minhash_blocks_documents": minhash_blocks_documents,
         "doc_minhash_neardup": doc_minhash_neardup,
         "doc_neardup_clusters": doc_neardup_clusters,
@@ -2535,6 +2622,7 @@ def build_oracle_sql():
         "minhash_blocks_documents": _sql_minhash_blocks(),
         "nice_alignment_documents": _SQL_NICE_ALIGNMENT,
         "align_path_documents": _SQL_ALIGN_PATH,
+        "align_path_std_documents": _SQL_ALIGN_PATH_STD,
         "shw_distance_documents": _SQL_SHW_DOCUMENTS,
         "hw_distance_documents": _SQL_HW_DOCUMENTS,
         "scored_pairs_hw": _SQL_SCORED_HW,

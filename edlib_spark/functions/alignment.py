@@ -8,10 +8,11 @@ Public surface mirrors the reference Python binding
     batch-vectorized Myers kernel (edlib_spark.batch): no per-row Python,
     per-pair k bounds (pass a Column for k).
   * ``align_expr(q, t, mode, task, k, ...)`` — full result struct
-    (editDistance, alphabetLength, locations, cigar).  Runs the exact
-    single-pair kernel per row inside the Arrow batch; intended for the
-    few pairs that survive the match threshold (task='locations'/'path'),
-    NOT for bulk scoring.
+    (editDistance, alphabetLength, locations, cigar).  Distances are
+    batch-vectorized; the exact single-pair kernel runs only for rows
+    that need a location scan or traceback, banded at the known
+    distance.  Bulk 'distance' scoring should still prefer
+    ``edit_distance`` (narrower output column).
   * ``norm_distance`` — JVM-side normalized-distance expression.
 """
 
@@ -78,22 +79,86 @@ def edit_distance(query: Column, target: Column, mode: str = "NW",
 
 
 def align_expr(query: Column, target: Column, mode: str = "NW",
-               task: str = "distance", k: int = -1,
-               additional_equalities=None, max_alphabet=None) -> Column:
-    """Full alignment result struct (slow path: per-row exact kernel).
+               task: str = "distance", k=-1,
+               additional_equalities=None, max_alphabet=None,
+               cigar_format: str = "extended") -> Column:
+    """Full alignment result struct (editDistance, alphabetLength,
+    locations, cigar).
 
+    Two-phase evaluation inside each Arrow batch: distances come from
+    the vectorized batch kernel (``batch_edit_distance``, no per-row
+    Python), then the exact single-pair kernel runs ONLY for the rows
+    that still need a scan — locations / traceback, banded at the
+    already-known distance (k = d is the tightest admissible band;
+    the reference's traceback is inherently per-pair,
+    edlib/src/edlib.cpp:931-1141, but distance is not).  Rows whose
+    distance exceeds ``k`` and NW rows under ``task='distance'`` never
+    touch the per-pair kernel at all.
+
+    ``k`` may be an int (same bound for all rows) or a Column (per-pair
+    bound, same as ``edit_distance``).
     ``max_alphabet=None`` (default here, unlike the reference) because
     canonicalized transcripts routinely exceed 256 unique codepoints.
+    ``cigar_format``: ``"extended"`` (=/X/I/D, the reference binding's
+    only output) or ``"standard"`` (M/I/D, the reference CLI's
+    -f CIG_STD switch, apps/aligner/aligner.cpp:200-221).
     """
     eqs = list(additional_equalities) if additional_equalities else None
+    if cigar_format not in ("extended", "standard"):
+        raise ValueError(f"invalid cigar_format {cigar_format!r}")
 
-    @pandas_udf(ALIGN_RESULT_TYPE)
-    def _align(q: pd.Series, t: pd.Series) -> pd.DataFrame:
+    def _align_batch(qs: list, ts: list, ks) -> pd.DataFrame:
+        dists = batch_edit_distance(qs, ts, mode, ks, equalities=eqs)
+        per_row_k = ks if hasattr(ks, "__len__") else [ks] * len(qs)
         rows = []
-        for qs, ts in zip(q, t):
-            r = kernel.align(qs or "", ts or "", mode=mode, task=task, k=k,
-                             additionalEqualities=eqs,
-                             max_alphabet=max_alphabet)
+        for qi, ti, d, ki in zip(qs, ts, dists.tolist(), per_row_k):
+            # alphabet size matches kernel.encode_pair: unique symbols
+            # across both sequences (equality pairs relate symbols, they
+            # don't merge alphabet letters — reference edlib.cpp:63-94)
+            sigma = len(set(qi) | set(ti))
+            if max_alphabet is not None and sigma > max_alphabet:
+                raise ValueError(
+                    "query and target combined have more than %d unique "
+                    "values, this is not supported." % max_alphabet)
+            if not qi or not ti:
+                # empty-sequence semantics live in the kernel (and the
+                # short-circuit ignores k, so d already agrees)
+                r = kernel.align(qi, ti, mode=mode, task=task, k=int(ki),
+                                 additionalEqualities=eqs,
+                                 max_alphabet=max_alphabet,
+                                 cigar_format=cigar_format)
+            elif d < 0:
+                rows.append((-1, sigma, [], None))
+                continue
+            elif mode == "NW":
+                # NW locations are fully determined by the batch
+                # distance: end = tlen-1 always, start = 0 when asked
+                # (kernel.align's NW branch) — and for task='path' the
+                # forward scan is redundant too, so go straight to the
+                # traceback dispatcher (obtainAlignment,
+                # reference edlib.cpp:1144-1213)
+                if task == "distance":
+                    rows.append((d, sigma, [(None, len(ti) - 1)], None))
+                elif task == "locations":
+                    rows.append((d, sigma, [(0, len(ti) - 1)], None))
+                else:
+                    q_codes, t_codes, _, eqm = kernel.encode_pair(
+                        qi, ti, eqs, max_alphabet)
+                    path = kernel._obtain_alignment(
+                        q_codes, t_codes, eqm, sigma, d)
+                    cigar = kernel.path_to_cigar(
+                        path, extended=(cigar_format == "extended"))
+                    rows.append((d, sigma, [(0, len(ti) - 1)], cigar))
+                continue
+            else:
+                # locations / path / semi-global ends: per-pair scan,
+                # banded at the known distance (same result for any
+                # band >= d; property-pinned in tests/test_kernel.py::
+                # test_band_at_exact_distance_invariance)
+                r = kernel.align(qi, ti, mode=mode, task=task, k=d,
+                                 additionalEqualities=eqs,
+                                 max_alphabet=max_alphabet,
+                                 cigar_format=cigar_format)
             rows.append((
                 r["editDistance"],
                 r["alphabetLength"],
@@ -102,6 +167,24 @@ def align_expr(query: Column, target: Column, mode: str = "NW",
             ))
         return pd.DataFrame(rows, columns=["editDistance", "alphabetLength",
                                            "locations", "cigar"])
+
+    if isinstance(k, Column):
+        @pandas_udf(ALIGN_RESULT_TYPE)
+        def _align_k(q: pd.Series, t: pd.Series,
+                     kk: pd.Series) -> pd.DataFrame:
+            return _align_batch(
+                ["" if v is None else v for v in q.tolist()],
+                ["" if v is None else v for v in t.tolist()],
+                kk.fillna(-1).astype("int64").to_numpy())
+        return _align_k(query, target, k)
+
+    k_val = int(k)
+
+    @pandas_udf(ALIGN_RESULT_TYPE)
+    def _align(q: pd.Series, t: pd.Series) -> pd.DataFrame:
+        return _align_batch(
+            ["" if v is None else v for v in q.tolist()],
+            ["" if v is None else v for v in t.tolist()], k_val)
     return _align(query, target)
 
 

@@ -729,19 +729,24 @@ def path_to_cigar(path, extended=True) -> str:
 # --------------------------------------------------------------------------
 
 def align(query, target, mode="NW", task="distance", k=-1,
-          additionalEqualities=None, max_alphabet=256):
+          additionalEqualities=None, max_alphabet=256,
+          cigar_format="extended"):
     """Pairwise alignment with the reference's exact result semantics.
 
     Drop-in analogue of the reference Python binding's ``align``
     (bindings/python/edlib.pyx:56-155): returns a dict with
     ``editDistance``, ``alphabetLength``, ``locations`` (list of
-    (start|None, end) tuples) and ``cigar`` (extended format, or None
-    unless task='path').
+    (start|None, end) tuples) and ``cigar`` (None unless task='path').
+    ``cigar_format`` selects EXTENDED (=/X/I/D, the binding's only
+    format) or STANDARD (M/I/D, the reference CLI's -f CIG_STD switch,
+    apps/aligner/aligner.cpp:200-221).
     """
     if mode not in MODES:
         raise ValueError(f"invalid mode {mode!r}")
     if task not in TASKS:
         raise ValueError(f"invalid task {task!r}")
+    if cigar_format not in ("extended", "standard"):
+        raise ValueError(f"invalid cigar_format {cigar_format!r}")
 
     q_codes, t_codes, sigma, eq = encode_pair(
         query, target, additionalEqualities, max_alphabet)
@@ -808,7 +813,7 @@ def align(query, target, mode="NW", task="distance", k=-1,
             start0, end0 = starts[0], ends[0]
             sub_t = t_codes[start0:end0 + 1]
             path = _obtain_alignment(q_codes, sub_t, eq, sigma, dist)
-            cigar = path_to_cigar(path)
+            cigar = path_to_cigar(path, extended=(cigar_format == "extended"))
     else:
         ends = []
 

@@ -137,8 +137,11 @@ def test_minhash_hot_block_salting_invariance(spark):
     salted plan's per-cell work is bounded: max hash-group size stays
     ~salt_group_size, so no task sees more than ~group_size^2 pairs
     where the unsalted plan puts all 319,600 in one task.
-    BENCH/SKEW.md carries the wall-clock version of this experiment at
-    16k/4k members."""
+    Sized at 800 members (was 1,200 in round 3) as a deliberate
+    runtime trade-off: 320k pairs already forces multi-cell salting at
+    group_size=128 and exercises every boundary case, while the
+    adversarial-scale version of this experiment lives in BENCH/SKEW.md
+    at 16k/4k members with wall-clock numbers."""
     hot_n, group_size = 800, 128
     hot = spark.range(hot_n).select(
         F.col("id").alias("doc_id"),

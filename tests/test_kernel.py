@@ -239,3 +239,43 @@ def test_shw_empty_prefix_tie_at_block_boundary():
         assert got == want, (n, got)
         dist, ends = simple_edit_distance(q, "b", "SHW")
         assert (dist, ends) == (n, want), (n, dist, ends)
+
+
+def test_band_at_exact_distance_invariance():
+    """align(k=d) must equal align(k=-1) bit-for-bit for every mode and
+    task when d is the true distance — the invariant the vectorized
+    align_expr leans on (batch distance first, then a per-pair scan
+    banded at the already-known distance for locations/path rows).
+    Banding discards only cells with score > k, and k = d keeps every
+    cell on an optimal path, so distances, full end-location sets,
+    start locations, and CIGARs are all unchanged."""
+    rng = np.random.default_rng(20240517)
+    letters = "abcd"
+    for trial in range(120):
+        qlen = int(rng.integers(1, 90))
+        tlen = int(rng.integers(1, 140))
+        q = "".join(letters[i] for i in rng.integers(0, 4, qlen))
+        t = "".join(letters[i] for i in rng.integers(0, 4, tlen))
+        for mode in ("NW", "HW", "SHW"):
+            for task in ("distance", "locations", "path"):
+                free = align(q, t, mode=mode, task=task, k=-1)
+                banded = align(q, t, mode=mode, task=task,
+                               k=free["editDistance"])
+                assert banded == free, (trial, mode, task, q, t)
+
+
+def test_standard_cigar_format_kwarg():
+    """cigar_format='standard' through align(): same path as extended,
+    =/X collapsed to M (reference CLI -f CIG_STD,
+    apps/aligner/aligner.cpp:200-221)."""
+    import re
+    r_ext = align("telephone", "elephant", task="path")
+    r_std = align("telephone", "elephant", task="path",
+                  cigar_format="standard")
+    assert set(re.sub(r"\d", "", r_std["cigar"])) <= {"M", "I", "D"}
+    # independent collapse of the extended string must agree
+    moves = _cigar_to_moves(r_ext["cigar"])
+    assert r_std["cigar"] == path_to_cigar(moves, extended=False)
+    assert r_std["editDistance"] == r_ext["editDistance"]
+    with pytest.raises(ValueError):
+        align("a", "a", task="path", cigar_format="CIG_STD")

@@ -258,3 +258,55 @@ def test_edit_distance_nonbmp_spark_lane_handoff(spark):
                 kernel.align(q, t, mode="HW")["editDistance"],
                 kernel.align(q, t, mode="NW", k=5)["editDistance"])
         assert got[i] == want, (i, q, t)
+
+
+def test_align_expr_matches_kernel_differential(spark):
+    """The vectorized align_expr (batch distance first, per-pair scan
+    banded at the known distance only for locations/path survivors)
+    must stay row-for-row identical to kernel.align across modes,
+    tasks, k values, empties, and k-truncated rows."""
+    import numpy as np
+    from edlib_spark import kernel
+    rng = np.random.default_rng(7)
+    letters = "abcd"
+    rows = [("", ""), ("", "abc"), ("abc", ""), ("a", "a")]
+    for _ in range(60):
+        q = "".join(letters[i]
+                    for i in rng.integers(0, 4, rng.integers(0, 50)))
+        t = "".join(letters[i]
+                    for i in rng.integers(0, 4, rng.integers(0, 70)))
+        rows.append((q, t))
+    df = spark.createDataFrame(rows, ["q", "t"]).coalesce(2)
+    for mode in ("NW", "HW", "SHW"):
+        for task in ("distance", "locations", "path"):
+            for k in (-1, 5):
+                got = df.select(
+                    "q", "t",
+                    align_expr(F.col("q"), F.col("t"), mode=mode,
+                               task=task, k=k).alias("r")).collect()
+                for row in got:
+                    want = kernel.align(row["q"], row["t"], mode=mode,
+                                        task=task, k=k, max_alphabet=None)
+                    r = row["r"]
+                    ctx = (mode, task, k, row["q"], row["t"])
+                    assert r["editDistance"] == want["editDistance"], ctx
+                    assert r["alphabetLength"] == want["alphabetLength"], ctx
+                    locs = [(loc["start"], loc["end"])
+                            for loc in (r["locations"] or [])]
+                    assert locs == list(want["locations"]), ctx
+                    assert r["cigar"] == want["cigar"], ctx
+
+
+def test_align_expr_standard_cigar_spark_surface(spark):
+    """STANDARD CIGAR through the Spark surface (reference CLI
+    -f CIG_STD, apps/aligner/aligner.cpp:200-221): goldens pin both
+    the =/X->M run merge ('1I5=1X1=1X' -> '1I8M') and an I/D-bearing
+    path ('2D1=1I2=1D' -> '2D1M1I2M1D')."""
+    df = spark.createDataFrame(
+        [("telephone", "elephant"), ("caba", "bbcbaa")], ["q", "t"])
+    got = {r["q"]: r["c"] for r in df.select(
+        "q", align_expr(F.col("q"), F.col("t"), task="path",
+                        cigar_format="standard").getField("cigar")
+        .alias("c")).collect()}
+    assert got["telephone"] == "1I8M"
+    assert got["caba"] == "2D1M1I2M1D"

@@ -72,6 +72,13 @@ def _write_edges(df, path: str) -> str:
     return f"SELECT id_a, id_b FROM read_parquet('{path}/*.parquet')"
 
 
+def _read_back(spark, sql_fn, path: str):
+    """Materialize the side table (sql_fn writes it as a side effect)
+    then read it back as the Spark side of a sampled check."""
+    sql_fn()
+    return spark.read.parquet(path)
+
+
 def build_overrides(spark, sf_dir):
     """name -> (spark_df_fn, oracle_sql_fn, tag).  oracle_sql_fn runs
     AFTER the Spark side so certificate side tables exist."""
@@ -118,15 +125,15 @@ def build_overrides(spark, sf_dir):
                                    _stratum_sql("p.id_a", "p.id_b")),
             sampled),
         "match_edges": (
-            lambda: (match_edge_sql() and
-                     spark.read.parquet(f"{DATA}/xs_event_edges.parquet")
-                          .where(_stratum_col())),
+            lambda: _read_back(spark, match_edge_sql,
+                               f"{DATA}/xs_event_edges.parquet")
+                    .where(_stratum_col()),
             lambda: dc._sql_edges(_stratum_sql("p.id_a", "p.id_b")),
             sampled),
         "doc_minhash_neardup": (
-            lambda: (doc_edge_sql() and
-                     spark.read.parquet(f"{DATA}/xs_doc_edges.parquet")
-                          .where(_stratum_col())),
+            lambda: _read_back(spark, doc_edge_sql,
+                               f"{DATA}/xs_doc_edges.parquet")
+                    .where(_stratum_col()),
             lambda: dc._sql_minhash_neardup(
                 _stratum_sql("a.doc_id", "b.doc_id")),
             sampled),
@@ -157,9 +164,9 @@ def build_overrides(spark, sf_dir):
         # recomputing the full quality+dedup+minhash pass — both are
         # Spark-derived, so the reread loses no independence.
         "training_edges_sampled": (
-            lambda: (training_edge_sql() and
-                     spark.read.parquet(f"{DATA}/xs_training_edges.parquet")
-                          .where(_stratum_col())),
+            lambda: _read_back(spark, training_edge_sql,
+                               f"{DATA}/xs_training_edges.parquet")
+                    .where(_stratum_col()),
             lambda: f"""
                 WITH {dc._sql_training_stages()}
                 SELECT CAST(a.doc_id AS BIGINT) AS id_a,
