@@ -234,25 +234,34 @@ def path_workload_section(spark, sf_dir) -> dict:
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
-    def adjacent_pairs(rep: int):
+    def pair_table(rep: int, neighbors: int):
         # pin the joined input so the timed region measures alignment,
         # not the join/scan; spread it so every core gets work (the sf
-        # dirs are single parquet files).  rep > 1 tiles the doc text
-        # to transcript-scale lengths (~2.4 KB at rep=8) — the shape
-        # the post-threshold path surface actually sees.
+        # dirs are single parquet files).  rep=4 tiles the doc text to
+        # transcript-scale lengths (~1.2 KB) — long enough that the
+        # per-row scans are compute-bound, short enough to stay in the
+        # direct-traceback regime (under kernel._TRACEBACK_MEM_LIMIT).
         text = F.repeat(F.col("text"), rep) if rep > 1 else F.col("text")
-        a = docs.select(F.col("doc_id").alias("id_a"),
-                        text.alias("text_a"))
-        b = docs.select((F.col("doc_id") - 1).alias("id_a"),
-                        text.alias("text_b"))
-        return a.join(b, "id_a").repartition(2 * CPUS).localCheckpoint()
+        d = docs.select("doc_id", text.alias("txt"))
+        a = d.select(F.col("doc_id").alias("id_a"),
+                     F.col("txt").alias("text_a"))
+        b = d.select(F.col("doc_id").alias("id_b"),
+                     F.col("txt").alias("text_b"))
+        keys = d.select(
+            F.col("doc_id").alias("id_a"),
+            F.explode(F.array(*[F.lit(i) for i in
+                                range(1, neighbors + 1)])).alias("off"))
+        keys = keys.select("id_a",
+                           (F.col("id_a") + F.col("off")).alias("id_b"))
+        return (keys.join(a, "id_a").join(b, "id_b")
+                .repartition(2 * CPUS).localCheckpoint())
 
-    # rep=4 (~1.2 KB) keeps the direct-traceback regime (the 20-byte/
-    # cell saved-matrix stays under kernel._TRACEBACK_MEM_LIMIT) while
-    # making the per-row band scans compute-bound rather than
-    # Spark-floor-bound
-    pairs_long = adjacent_pairs(4)
-    n = pairs_long.count()
+    # unbounded: every pair needs a full traceback -> ~5k pairs is
+    # compute-bound already.  threshold: the k-prune rejects almost
+    # every pair cheaply, so 10x the pairs to lift the per-row scan
+    # cost above the Spark floor.
+    pairs_path = pair_table(4, 1)
+    pairs_prune = pair_table(4, 10)
     k_col_sql = ("CAST(ceil(0.2 * greatest(length(text_a), "
                  "length(text_b))) AS INT)")
 
@@ -279,16 +288,16 @@ def path_workload_section(spark, sf_dir) -> dict:
                .collect()[0])
         return (row["c"], row["d"])
 
-    out = {"pairs": n}
+    out = {}
     variants = {
         "unbounded": (
-            pairs_long,
+            pairs_path,
             align_expr(F.col("text_a"), F.col("text_b"), mode="NW",
                        task="path"),
             legacy_udf(lambda q, t: -1)(
                 F.col("text_a"), F.col("text_b"))),
         "threshold": (
-            pairs_long,
+            pairs_prune,
             align_expr(F.col("text_a"), F.col("text_b"), mode="NW",
                        task="path",
                        k=F.expr(k_col_sql)),
@@ -305,7 +314,8 @@ def path_workload_section(spark, sf_dir) -> dict:
         assert chk_v == chk_l, (name, chk_v, chk_l)
         vec = min(_timed(lambda: run(df, vec_col))[0] for _ in range(2))
         leg = min(_timed(lambda: run(df, leg_col))[0] for _ in range(2))
-        out[name] = {"vectorized_sec": round(vec, 2),
+        out[name] = {"pairs": df.count(),
+                     "vectorized_sec": round(vec, 2),
                      "legacy_per_row_sec": round(leg, 2),
                      "speedup": round(leg / vec, 2)}
     return out

@@ -257,6 +257,411 @@ static int32_t pair_distance(const uint32_t *q, int64_t qlen,
     return (best <= orig_k) ? (int32_t)best : -1;
 }
 
+/* Values of all 64 cells of a block, bottom cell first (mirror of
+   kernel._block_cells / reference getBlockCellValues,
+   edlib/src/edlib.cpp:470-482). */
+static void block_cells(word p, word m, int64_t score, int64_t *cells) {
+    int64_t s = score;
+    word mask = 1ULL << 63;
+    for (int i = 0; i < WBITS - 1; i++) {
+        cells[i] = s;
+        if (p & mask) s--;
+        if (m & mask) s++;
+        mask >>= 1;
+    }
+    cells[WBITS - 1] = s;
+}
+
+/* Banded NW scan that SAVES the band (the find_alignment /
+   target_stop scan, an exact transcription of kernel._scan_nw —
+   reference myersCalcEditDistanceNW, edlib/src/edlib.cpp:707-928).
+   The saved band's SHAPE feeds the traceback's block-availability
+   checks, so every band move (initial width, in-flight k tightening,
+   extend, shrink, the strong reduce every 2048 columns) must match
+   the Python scan bit-for-bit — paths are pinned byte-exact against
+   the compiled reference.
+
+   Inputs are the DENSE pair encoding kernel.encode_pair produces:
+   q/t symbol codes < sigma and the sigma x sigma equality matrix.
+   target_stop < 0: save every column into ps/ms/scores (layout
+   [c*nblocks + b]) + first/last per column; returns best or -1.
+   target_stop >= 0: save only that column into slot 0 (the
+   Hirschberg hook) and return -1 on reaching it (same value the
+   Python scan reports).  Returns INT32_MIN on allocation failure. */
+int32_t nw_fill_alignment(const int32_t *q, int64_t qlen,
+                          const int32_t *t, int64_t tlen,
+                          const uint8_t *eq, int64_t sigma,
+                          int64_t k, int64_t target_stop,
+                          uint64_t *ps, uint64_t *ms, int64_t *scores,
+                          int64_t *first_blocks, int64_t *last_blocks) {
+    int64_t diff = qlen > tlen ? qlen - tlen : tlen - qlen;
+    if (k < diff) return -1;
+    {
+        int64_t cap = qlen > tlen ? qlen : tlen;
+        if (k > cap) k = cap;
+    }
+    int64_t nb = (qlen + WBITS - 1) / WBITS;
+    int64_t w = nb * WBITS - qlen;
+
+    word *peq = (word *)calloc((size_t)((sigma + 1) * nb), sizeof(word));
+    word *bp = (word *)malloc((size_t)nb * sizeof(word));
+    word *bm = (word *)malloc((size_t)nb * sizeof(word));
+    int64_t *bs = (int64_t *)malloc((size_t)nb * sizeof(int64_t));
+    int64_t *cells = (int64_t *)malloc(WBITS * sizeof(int64_t));
+    if (!peq || !bp || !bm || !bs || !cells) {
+        free(peq); free(bp); free(bm); free(bs); free(cells);
+        return INT32_MIN;
+    }
+    /* Peq planes from the equality matrix (kernel.build_peq): bit r of
+       plane s set iff eq[s][q[r]]; padding rows match every symbol. */
+    for (int64_t r = 0; r < qlen; r++) {
+        int64_t qc = q[r];
+        word bit = 1ULL << (r & 63);
+        for (int64_t s = 0; s < sigma; s++)
+            if (eq[s * sigma + qc]) peq[s * nb + (r >> 6)] |= bit;
+    }
+    if (w > 0) {
+        word padmask = ~0ULL << (WBITS - w);
+        for (int64_t s = 0; s < sigma; s++) peq[s * nb + nb - 1] |= padmask;
+    }
+
+    int64_t first = 0;
+    int64_t half = (k + qlen - tlen) / 2;     /* >= 0: k >= |q|-|t| */
+    int64_t band = half < k ? half : k;
+    int64_t last = (band + 1 + WBITS - 1) / WBITS;
+    if (last > nb) last = nb;
+    last -= 1;
+
+    for (int64_t b = 0; b <= last; b++) {
+        bs[b] = (b + 1) * WBITS;
+        bp[b] = ~0ULL;
+        bm[b] = 0ULL;
+    }
+
+    int32_t result = -1;
+    for (int64_t c = 0; c < tlen; c++) {
+        const word *pq = peq + (int64_t)t[c] * nb;
+        int hout = 1;
+        for (int64_t b = first; b <= last; b++) {
+            hout = step_block(&bp[b], &bm[b], pq[b], hout);
+            bs[b] += hout;
+        }
+
+        /* tighten k (kernel._scan_nw lines 339-343) */
+        {
+            int64_t rem_t = tlen - c - 1;
+            int64_t rem_q = qlen - ((1 + last) * WBITS - 1) - 1;
+            int64_t cap = bs[last] + (rem_t > rem_q ? rem_t : rem_q)
+                          + (last == nb - 1 ? w : 0);
+            if (cap < k) k = cap;
+        }
+
+        /* extend band down */
+        if (last + 1 < nb
+            && !((last + 1) * WBITS - 1
+                 > k - bs[last] + 2 * WBITS - 2 - tlen + c + qlen)) {
+            last++;
+            bp[last] = ~0ULL;
+            bm[last] = 0ULL;
+            int nh = step_block(&bp[last], &bm[last], pq[last], hout);
+            bs[last] = bs[last - 1] - hout + WBITS + nh;
+            hout = nh;
+        }
+
+        /* shrink from below */
+        while (last >= first
+               && (bs[last] >= k + WBITS
+                   || ((last + 1) * WBITS - 1
+                       > k - bs[last] + 2 * WBITS - 2 - tlen + c + qlen
+                         + 1))) {
+            last--;
+        }
+        /* shrink from above */
+        while (first <= last
+               && (bs[first] >= k + WBITS
+                   || ((first + 1) * WBITS - 1
+                       < bs[first] - k - tlen + qlen + c))) {
+            first++;
+        }
+
+        if (c % 2048 == 0) {     /* strong reduce (lines 369-395) */
+            while (last >= first) {
+                block_cells(bp[last], bm[last], bs[last], cells);
+                int64_t ncells = (last == nb - 1) ? WBITS - w : WBITS;
+                int64_t r = last * WBITS + ncells - 1;
+                int reduce = 1;
+                for (int64_t i = WBITS - ncells; i < WBITS; i++) {
+                    if (cells[i] <= k
+                        && r <= k - cells[i] - tlen + c + qlen + 1) {
+                        reduce = 0;
+                        break;
+                    }
+                    r--;
+                }
+                if (!reduce) break;
+                last--;
+            }
+            while (first <= last) {
+                block_cells(bp[first], bm[first], bs[first], cells);
+                int64_t ncells = (first == nb - 1) ? WBITS - w : WBITS;
+                int64_t r = first * WBITS + ncells - 1;
+                int reduce = 1;
+                for (int64_t i = WBITS - ncells; i < WBITS; i++) {
+                    if (cells[i] <= k
+                        && r >= cells[i] - k - tlen + c + qlen) {
+                        reduce = 0;
+                        break;
+                    }
+                    r--;
+                }
+                if (!reduce) break;
+                first++;
+            }
+        }
+
+        if (last < first) { result = -1; goto done; }   /* band died */
+
+        if (target_stop < 0) {
+            int64_t base = nb * c;
+            for (int64_t b = first; b <= last; b++) {
+                ps[base + b] = bp[b];
+                ms[base + b] = bm[b];
+                scores[base + b] = bs[b];
+            }
+            first_blocks[c] = first;
+            last_blocks[c] = last;
+        } else if (c == target_stop) {
+            for (int64_t b = first; b <= last; b++) {
+                ps[b] = bp[b];
+                ms[b] = bm[b];
+                scores[b] = bs[b];
+            }
+            first_blocks[0] = first;
+            last_blocks[0] = last;
+            result = -1;
+            goto done;
+        }
+    }
+
+    if (last == nb - 1) {
+        block_cells(bp[last], bm[last], bs[last], cells);
+        int64_t best = cells[w];
+        if (best <= k) result = (int32_t)best;
+    }
+done:
+    free(peq); free(bp); free(bm); free(bs); free(cells);
+    return result;
+}
+
+/* Traceback walk over a saved band (exact transcription of
+   kernel._traceback / reference obtainAlignmentTraceback,
+   edlib/src/edlib.cpp:931-1141).  Move codes: 0 match, 1 insert
+   (up), 2 delete (left), 3 mismatch — kernel.OP_*.  Moves are
+   emitted in reverse discovery order exactly like the Python walk,
+   then flipped in place.  Returns path length, or -1 if the walk
+   broke (cannot happen on a band saved with k >= best). */
+static int64_t nw_walk(int64_t qlen, int64_t tlen, int64_t best,
+                       int64_t nb,
+                       const word *ps, const word *ms,
+                       const int64_t *scores,
+                       const int64_t *fbs, const int64_t *lbs,
+                       int8_t *out) {
+    const word HB = 1ULL << 63;
+    int64_t w = nb * WBITS - qlen;
+    int64_t cap = qlen + tlen;
+    int64_t n = 0;
+    int64_t c = tlen - 1;
+    int64_t b = nb - 1;
+    int64_t curr_score = best;
+    int64_t l_score = -1, u_score = -1, ul_score = -1;
+    word curr_p = ps[c * nb + b] << w;
+    word curr_m = ms[c * nb + b] << w;
+    int left_exists = (c > 0 && fbs[c - 1] <= b && b <= lbs[c - 1]);
+    word l_p = 0, l_m = 0;
+    if (left_exists) {
+        l_p = ps[(c - 1) * nb + b];
+        l_m = ms[(c - 1) * nb + b];
+    }
+    int64_t block_pos = WBITS - w - 1;
+
+    for (;;) {
+        if (c == 0) {
+            left_exists = 1;
+            l_score = b * WBITS + block_pos + 1;
+            ul_score = l_score - 1;
+        }
+        if (l_score == -1 && left_exists) {
+            l_score = scores[(c - 1) * nb + b];
+            for (int64_t i = 0; i < WBITS - block_pos - 1; i++) {
+                if (l_p & HB) l_score--;
+                if (l_m & HB) l_score++;
+                l_p <<= 1;
+                l_m <<= 1;
+            }
+        }
+        if (ul_score == -1) {
+            if (l_score != -1) {
+                ul_score = l_score;
+                if (l_p & HB) ul_score--;
+                if (l_m & HB) ul_score++;
+            } else if (c > 0 && fbs[c - 1] <= b - 1
+                       && b - 1 <= lbs[c - 1]) {
+                ul_score = scores[(c - 1) * nb + b - 1];
+            }
+        }
+        if (u_score == -1) {
+            u_score = curr_score;
+            if (curr_p & HB) u_score--;
+            if (curr_m & HB) u_score++;
+            curr_p <<= 1;
+            curr_m <<= 1;
+        }
+
+        /* move priority: up > left > diagonal (reference order) */
+        if (u_score != -1 && u_score + 1 == curr_score) {
+            curr_score = u_score;
+            l_score = ul_score;
+            u_score = ul_score = -1;
+            if (block_pos == 0) {
+                if (b == 0) {
+                    if (n + 2 + c > cap) return -1;
+                    out[n++] = 1;
+                    for (int64_t i = 0; i <= c; i++) out[n++] = 2;
+                    break;
+                }
+                block_pos = WBITS - 1;
+                b--;
+                curr_p = ps[c * nb + b];
+                curr_m = ms[c * nb + b];
+                if (c > 0 && fbs[c - 1] <= b && b <= lbs[c - 1]) {
+                    left_exists = 1;
+                    l_p = ps[(c - 1) * nb + b];
+                    l_m = ms[(c - 1) * nb + b];
+                } else {
+                    left_exists = 0;
+                }
+            } else {
+                block_pos--;
+                l_p <<= 1;
+                l_m <<= 1;
+            }
+            if (n >= cap) return -1;
+            out[n++] = 1;
+        } else if (l_score != -1 && l_score + 1 == curr_score) {
+            curr_score = l_score;
+            u_score = ul_score;
+            l_score = ul_score = -1;
+            c--;
+            if (c == -1) {
+                int64_t extra = b * WBITS + block_pos + 1;
+                if (n + 1 + extra > cap) return -1;
+                out[n++] = 2;
+                for (int64_t i = 0; i < extra; i++) out[n++] = 1;
+                break;
+            }
+            curr_p = l_p;
+            curr_m = l_m;
+            if (c > 0 && fbs[c - 1] <= b && b <= lbs[c - 1]) {
+                left_exists = 1;
+                l_p = ps[(c - 1) * nb + b];
+                l_m = ms[(c - 1) * nb + b];
+            } else if (c == 0) {
+                left_exists = 1;
+                l_score = b * WBITS + block_pos + 1;
+                ul_score = l_score - 1;
+            } else {
+                left_exists = 0;
+            }
+            if (n >= cap) return -1;
+            out[n++] = 2;
+        } else if (ul_score != -1) {
+            int8_t move = (ul_score == curr_score) ? 0 : 3;
+            curr_score = ul_score;
+            u_score = l_score = ul_score = -1;
+            c--;
+            if (c == -1) {
+                int64_t extra = b * WBITS + block_pos;
+                if (n + 1 + extra > cap) return -1;
+                out[n++] = move;
+                for (int64_t i = 0; i < extra; i++) out[n++] = 1;
+                break;
+            }
+            if (block_pos == 0) {
+                if (b == 0) {
+                    if (n + 2 + c > cap) return -1;
+                    out[n++] = move;
+                    for (int64_t i = 0; i <= c; i++) out[n++] = 2;
+                    break;
+                }
+                block_pos = WBITS - 1;
+                b--;
+                curr_p = ps[c * nb + b];
+                curr_m = ms[c * nb + b];
+            } else {
+                block_pos--;
+                curr_p = l_p << 1;
+                curr_m = l_m << 1;
+            }
+            if (c > 0 && fbs[c - 1] <= b && b <= lbs[c - 1]) {
+                left_exists = 1;
+                l_p = ps[(c - 1) * nb + b];
+                l_m = ms[(c - 1) * nb + b];
+            } else if (c == 0) {
+                left_exists = 1;
+                l_score = b * WBITS + block_pos + 1;
+                ul_score = l_score - 1;
+            } else {
+                left_exists = 0;
+            }
+            if (n >= cap) return -1;
+            out[n++] = move;
+        } else {
+            break;
+        }
+    }
+    for (int64_t i = 0, j = n - 1; i < j; i++, j--) {
+        int8_t tmp = out[i];
+        out[i] = out[j];
+        out[j] = tmp;
+    }
+    return n;
+}
+
+/* Saved-band scan + traceback in one call (the direct-traceback arm
+   of kernel._obtain_alignment).  Caller sizes out_moves to
+   qlen + tlen.  Returns path length, -1 when the scan exceeded
+   ``best`` or the walk broke (caller falls back to Python), or
+   INT32_MIN on allocation failure. */
+int64_t nw_align_path(const int32_t *q, int64_t qlen,
+                      const int32_t *t, int64_t tlen,
+                      const uint8_t *eq, int64_t sigma,
+                      int64_t best, int8_t *out_moves) {
+    int64_t nb = (qlen + WBITS - 1) / WBITS;
+    word *ps = (word *)calloc((size_t)(nb * tlen), sizeof(word));
+    word *ms = (word *)calloc((size_t)(nb * tlen), sizeof(word));
+    int64_t *scores = (int64_t *)calloc((size_t)(nb * tlen),
+                                        sizeof(int64_t));
+    int64_t *fbs = (int64_t *)calloc((size_t)tlen, sizeof(int64_t));
+    int64_t *lbs = (int64_t *)calloc((size_t)tlen, sizeof(int64_t));
+    int64_t ret;
+    if (!ps || !ms || !scores || !fbs || !lbs) {
+        ret = INT32_MIN;
+        goto out;
+    }
+    {
+        int32_t got = nw_fill_alignment(q, qlen, t, tlen, eq, sigma,
+                                        best, -1, ps, ms, scores, fbs,
+                                        lbs);
+        if (got == INT32_MIN) { ret = INT32_MIN; goto out; }
+        if (got < 0) { ret = -1; goto out; }
+        ret = nw_walk(qlen, tlen, (int64_t)got, nb, ps, ms, scores,
+                      fbs, lbs, out_moves);
+    }
+out:
+    free(ps); free(ms); free(scores); free(fbs); free(lbs);
+    return ret;
+}
+
 int batch_distance(const uint32_t *qbuf, const int64_t *qstart,
                    const int64_t *qlens,
                    const uint32_t *tbuf, const int64_t *tstart,
@@ -340,6 +745,16 @@ int batch_distance(const uint32_t *qbuf, const int64_t *qstart,
                    const int64_t *ks, int64_t n, int mode,
                    const uint32_t *eqa, const uint32_t *eqb, int64_t n_eq,
                    int32_t *out);
+int32_t nw_fill_alignment(const int32_t *q, int64_t qlen,
+                          const int32_t *t, int64_t tlen,
+                          const uint8_t *eq, int64_t sigma,
+                          int64_t k, int64_t target_stop,
+                          uint64_t *ps, uint64_t *ms, int64_t *scores,
+                          int64_t *first_blocks, int64_t *last_blocks);
+int64_t nw_align_path(const int32_t *q, int64_t qlen,
+                      const int32_t *t, int64_t tlen,
+                      const uint8_t *eq, int64_t sigma,
+                      int64_t best, int8_t *out_moves);
 """
 
 lib = None
@@ -421,3 +836,70 @@ def native_batch_distance(q_flat, q_start, q_lens, t_flat, t_start,
     if rc != 0:
         return None
     return out
+
+
+def native_fill_nw(q_codes, t_codes, eq, sigma, k, target_stop=-1):
+    """Saved-band NW scan (the find_alignment / Hirschberg-hook scan)
+    in C over one dense-encoded pair.
+
+    Returns (best, ps, ms, scores, first_blocks, last_blocks) where
+    the arrays use kernel._AlignData's [c*nblocks + b] layout (one
+    column slot when ``target_stop`` >= 0), or None when the native
+    library is unavailable or allocation failed — callers fall back to
+    the pure-Python scan, which produces the identical band
+    (differentially pinned in tests/test_batch.py)."""
+    import numpy as np
+
+    if lib is None:
+        return None
+    qlen, tlen = len(q_codes), len(t_codes)
+    nb = (qlen + 63) // 64
+    ncols = 1 if target_stop >= 0 else tlen
+    ps = np.zeros(nb * ncols, dtype=np.uint64)
+    ms = np.zeros(nb * ncols, dtype=np.uint64)
+    scores = np.zeros(nb * ncols, dtype=np.int64)
+    fb = np.zeros(ncols, dtype=np.int64)
+    lb = np.zeros(ncols, dtype=np.int64)
+    qa = np.ascontiguousarray(q_codes, dtype=np.int32)
+    ta = np.ascontiguousarray(t_codes, dtype=np.int32)
+    eqm = np.ascontiguousarray(eq, dtype=np.uint8)
+    best = lib.nw_fill_alignment(
+        ffi.cast("const int32_t *", qa.ctypes.data), qlen,
+        ffi.cast("const int32_t *", ta.ctypes.data), tlen,
+        ffi.cast("const uint8_t *", eqm.ctypes.data), int(sigma),
+        int(k), int(target_stop),
+        ffi.cast("uint64_t *", ps.ctypes.data),
+        ffi.cast("uint64_t *", ms.ctypes.data),
+        ffi.cast("int64_t *", scores.ctypes.data),
+        ffi.cast("int64_t *", fb.ctypes.data),
+        ffi.cast("int64_t *", lb.ctypes.data))
+    if best == UNSUPPORTED:
+        return None
+    return best, ps, ms, scores, fb, lb
+
+
+def native_align_path(q_codes, t_codes, eq, sigma, best):
+    """Direct-traceback path (saved-band scan + walk) fully in C for
+    one dense-encoded pair.  Returns the move-code list (kernel.OP_*),
+    or None when the native library is unavailable or the native call
+    could not produce a path — callers fall back to the pure-Python
+    scan+walk, which is byte-identical (reference-parity suite +
+    tests/test_batch.py pin both)."""
+    import numpy as np
+
+    if lib is None:
+        return None
+    qlen, tlen = len(q_codes), len(t_codes)
+    qa = np.ascontiguousarray(q_codes, dtype=np.int32)
+    ta = np.ascontiguousarray(t_codes, dtype=np.int32)
+    eqm = np.ascontiguousarray(eq, dtype=np.uint8)
+    moves = np.empty(qlen + tlen, dtype=np.int8)
+    n = lib.nw_align_path(
+        ffi.cast("const int32_t *", qa.ctypes.data), qlen,
+        ffi.cast("const int32_t *", ta.ctypes.data), tlen,
+        ffi.cast("const uint8_t *", eqm.ctypes.data), int(sigma),
+        int(best),
+        ffi.cast("int8_t *", moves.ctypes.data))
+    if n < 0:
+        return None
+    return moves[:n].tolist()

@@ -627,6 +627,39 @@ _SQL_QUERY_VS_CORPUS = """
 """
 
 
+def query_top_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-n corpus targets for ONE query with adaptive k — the
+    reference CLI's numBestSeqs heap that tightens k as better targets
+    arrive (apps/aligner/aligner.cpp:181-195), re-expressed for a
+    distributed scan via top_n_best's two-pass bound: an unbounded
+    pass over a hash sample yields a guaranteed k for the bounded
+    full scan (band death discards non-contenders in C).  Result is
+    EXACT: identical rows to an unbounded scan + top-n with the
+    deterministic (distance, doc_id) tie-break — which is precisely
+    what the oracle computes."""
+    from .operators.scoring import top_n_best
+    docs = _read(spark, sf_dir, "documents")
+    query = docs.where(F.col("doc_id") == 0) \
+        .select(F.col("text").alias("text_a"))
+    pairs = (docs.crossJoin(F.broadcast(query))
+             .select(F.lit(0).cast("bigint").alias("id_a"),
+                     F.col("doc_id").cast("bigint").alias("id_b"),
+                     "text_a",
+                     F.col("text").alias("text_b")))
+    out = top_n_best(pairs, 25, mode="NW")
+    return out.select(F.col("id_b").alias("doc_id"),
+                      F.col("edit_distance").cast("bigint")
+                       .alias("edit_distance"))
+
+
+_SQL_QUERY_TOP_CORPUS = """
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(levenshtein(q.text, d.text) AS BIGINT) AS edit_distance
+    FROM documents d, (SELECT text FROM documents WHERE doc_id = 0) q
+    ORDER BY edit_distance, doc_id LIMIT 25
+"""
+
+
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram overlap for adjacent doc pairs (integer counts keep
     the oracle hash exact; Jaccard = inter/union downstream)."""
@@ -2539,6 +2572,7 @@ def build_queries():
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "top_similar_documents": top_similar_documents,
         "query_vs_corpus": query_vs_corpus,
+        "query_top_corpus": query_top_corpus,
         "query_infix_corpus": query_infix_corpus,
         "ann_cosine_topk": ann_cosine_topk,
         "doc_lang_id": doc_lang_id,
@@ -2594,6 +2628,7 @@ def build_oracle_sql():
         "doc_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "top_similar_documents": _SQL_TOP_SIMILAR,
         "query_vs_corpus": _SQL_QUERY_VS_CORPUS,
+        "query_top_corpus": _SQL_QUERY_TOP_CORPUS,
         "query_infix_corpus": _SQL_QUERY_INFIX,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "doc_minhash_neardup": _SQL_MINHASH_NEARDUP,

@@ -593,6 +593,41 @@ def _read_block(p, m, score):
     return cells
 
 
+class _IntView:
+    """O(1)-per-access int view over a numpy array so the traceback's
+    Python-int bit arithmetic stays exact (np.uint64 would silently
+    wrap mixed-type expressions)."""
+
+    __slots__ = ("a",)
+
+    def __init__(self, a):
+        self.a = a
+
+    def __getitem__(self, i):
+        return int(self.a[i])
+
+
+def _native_align_data(q_codes, t_codes, eq, sigma, k, target_stop=-1):
+    """Saved-band scan via the native kernel, wrapped to duck-type
+    _AlignData for _traceback/_hirschberg.  None when the cffi library
+    is unavailable (callers keep the pure-Python scan; both bands are
+    differentially pinned identical in tests/test_batch.py)."""
+    from . import _native
+    res = _native.native_fill_nw(q_codes, t_codes, eq, sigma, k,
+                                 target_stop)
+    if res is None:
+        return None
+    best, ps, ms, scores, fb, lb = res
+    data = _AlignData.__new__(_AlignData)
+    data.nblocks = _ceil_div(len(q_codes), WORD)
+    data.ps = _IntView(ps)
+    data.ms = _IntView(ms)
+    data.scores = _IntView(scores)
+    data.first_blocks = fb.tolist()
+    data.last_blocks = lb.tolist()
+    return best, data
+
+
 def _obtain_alignment(q_codes, t_codes, eq, sigma, best):
     """Find one optimal path; traceback for small problems, Hirschberg
     divide-and-conquer otherwise (reference obtainAlignment,
@@ -606,6 +641,11 @@ def _obtain_alignment(q_codes, t_codes, eq, sigma, best):
     w = nblocks * WORD - qlen
     mem = (2 * 8 + 4) * nblocks * tlen + 2 * 4 * tlen
     if mem < _TRACEBACK_MEM_LIMIT:
+        from . import _native
+        path = _native.native_align_path(q_codes, t_codes, eq, sigma,
+                                         best)
+        if path is not None:
+            return path
         peq = build_peq(sigma, q_codes, eq)
         _, _, data = _scan_nw(peq, w, nblocks, qlen, t_codes, best,
                               find_alignment=True)
@@ -624,16 +664,23 @@ def _hirschberg(q_codes, t_codes, eq, sigma, best):
 
     r_q = q_codes[::-1]
     r_t = t_codes[::-1]
-    peq = build_peq(sigma, q_codes, eq)
-    r_peq = build_peq(sigma, r_q, eq)
 
     left_width = tlen // 2
     right_width = tlen - left_width
 
-    _, _, left_data = _scan_nw(peq, w, nblocks, qlen, t_codes, best,
-                               target_stop=left_width - 1)
-    _, _, right_data = _scan_nw(r_peq, w, nblocks, qlen, r_t, best,
-                                target_stop=right_width - 1)
+    nd_l = _native_align_data(q_codes, t_codes, eq, sigma, best,
+                              target_stop=left_width - 1)
+    nd_r = _native_align_data(r_q, r_t, eq, sigma, best,
+                              target_stop=right_width - 1)
+    if nd_l is not None and nd_r is not None:
+        left_data, right_data = nd_l[1], nd_r[1]
+    else:
+        peq = build_peq(sigma, q_codes, eq)
+        r_peq = build_peq(sigma, r_q, eq)
+        _, _, left_data = _scan_nw(peq, w, nblocks, qlen, t_codes, best,
+                                   target_stop=left_width - 1)
+        _, _, right_data = _scan_nw(r_peq, w, nblocks, qlen, r_t, best,
+                                    target_stop=right_width - 1)
     if left_data is None or right_data is None:
         raise RuntimeError("hirschberg: banded scan lost the solution")
 

@@ -247,3 +247,117 @@ def test_batch_tight_k_long_near_identical(mode):
                                               use_native=use_native)
                     assert got[0] == want, (L, len(t), k, use_native,
                                             got[0], want)
+
+
+def test_native_fill_matches_python_scan():
+    """The native saved-band NW scan must reproduce the pure-Python
+    _scan_nw BIT-FOR-BIT — not just the distance: the saved P/M/score
+    blocks and the per-column band bounds feed the traceback's
+    block-availability checks, and the paths are pinned byte-exact
+    against the compiled reference.  Covers multi-block queries, exact
+    64-multiples (w == 0), additional equalities, band-killing k, the
+    Hirschberg target_stop hook, and a >2048-column case so the strong
+    reduce fires mid-scan."""
+    from edlib_spark import _native
+    from edlib_spark.kernel import (
+        WORD, _AlignData, _ceil_div, _scan_nw, build_peq, encode_pair,
+    )
+
+    if _native.lib is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(99)
+    letters = "abcd"
+
+    def rand(n):
+        return "".join(letters[i] for i in rng.integers(0, 4, n))
+
+    cases = []
+    for _ in range(40):
+        cases.append((rand(int(rng.integers(1, 200))),
+                      rand(int(rng.integers(1, 260))), None))
+    cases += [
+        (rand(64), rand(100), None),          # w == 0
+        (rand(128), rand(128), None),         # w == 0, 2 blocks
+        ("a" * 70, "a" * 70, None),           # zero distance
+        (rand(90), rand(2500), None),         # strong reduce at c=2048
+        (rand(40), rand(60), [("a", "b")]),   # equalities
+    ]
+    for q, t, eqs in cases:
+        q_codes, t_codes, sigma, eq = encode_pair(q, t, eqs, None)
+        qlen, tlen = len(q_codes), len(t_codes)
+        nblocks = _ceil_div(qlen, WORD)
+        w = nblocks * WORD - qlen
+        d_true, _ = simple_edit_distance(q, t, "NW")
+        peq = build_peq(sigma, q_codes, eq)
+        for k in (d_true, d_true + 7, max(qlen, tlen),
+                  max(0, d_true - 1)):
+            best_py, _, data = _scan_nw(peq, w, nblocks, qlen, t_codes,
+                                        k, find_alignment=True)
+            res = _native.native_fill_nw(q_codes, t_codes, eq, sigma, k)
+            assert res is not None
+            best_c, ps, ms, scores, fb, lb = res
+            ctx = (q, t, k)
+            assert best_c == best_py, ctx
+            if data is None:
+                continue
+            assert fb.tolist() == data.first_blocks, ctx
+            assert lb.tolist() == data.last_blocks, ctx
+            assert [int(x) for x in ps] == data.ps, ctx
+            assert [int(x) for x in ms] == data.ms, ctx
+            assert scores.tolist() == data.scores, ctx
+        # Hirschberg hook: single-column save at the split point
+        stop = tlen // 2 - 1
+        if stop >= 0:
+            _, _, data = _scan_nw(peq, w, nblocks, qlen, t_codes,
+                                  d_true, target_stop=stop)
+            res = _native.native_fill_nw(q_codes, t_codes, eq, sigma,
+                                         d_true, target_stop=stop)
+            assert res is not None
+            _, ps, ms, scores, fb, lb = res
+            assert fb[0] == data.first_blocks[0]
+            assert lb[0] == data.last_blocks[0]
+            f0, l0 = data.first_blocks[0], data.last_blocks[0]
+            for b in range(f0, l0 + 1):
+                assert int(ps[b]) == data.ps[b], (q, t, b)
+                assert int(ms[b]) == data.ms[b], (q, t, b)
+                assert int(scores[b]) == data.scores[b], (q, t, b)
+
+
+def test_native_path_matches_python_walk():
+    """Full native path (scan + traceback walk in C) must equal the
+    pure-Python _scan_nw(find_alignment) + _traceback move-for-move —
+    the walk's emit ORDER and tie-breaks are what the compiled
+    reference pins byte-exactly."""
+    from edlib_spark import _native
+    from edlib_spark.kernel import (
+        WORD, _ceil_div, _scan_nw, _traceback, build_peq, encode_pair,
+    )
+
+    if _native.lib is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(123)
+    letters = "abc"
+
+    def rand(n):
+        return "".join(letters[i] for i in rng.integers(0, 3, n))
+
+    cases = [(rand(int(rng.integers(1, 180))),
+              rand(int(rng.integers(1, 240)))) for _ in range(60)]
+    cases += [(rand(64), rand(64)), (rand(128), rand(50)),
+              ("a" * 65, "a" * 65), (rand(1), rand(200)),
+              (rand(200), rand(1)), (rand(90), rand(2500))]
+    for q, t in cases:
+        q_codes, t_codes, sigma, eq = encode_pair(q, t, None, None)
+        qlen, tlen = len(q_codes), len(t_codes)
+        nblocks = _ceil_div(qlen, WORD)
+        w = nblocks * WORD - qlen
+        d_true, _ = simple_edit_distance(q, t, "NW")
+        peq = build_peq(sigma, q_codes, eq)
+        _, _, data = _scan_nw(peq, w, nblocks, qlen, t_codes, d_true,
+                              find_alignment=True)
+        want = _traceback(qlen, tlen, d_true, data)
+        got = _native.native_align_path(q_codes, t_codes, eq, sigma,
+                                        d_true)
+        assert got == want, (q, t, d_true)
