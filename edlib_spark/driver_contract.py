@@ -2148,33 +2148,39 @@ _SQL_COSINE_NEARDUP = """
 """
 
 
+_IVF_CENTROIDS_PATH = os.path.join(_REPO_ROOT, "data",
+                                   "ivf_centroids_current.parquet")
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a deterministic coarse quantizer (seed centroids =
-    vec_id < 8) partitions the corpus into cells; each query searches
-    only its own cell (nprobe=1) — the inverted-file pruning pattern at
-    the heart of IVF indexes, fully SQL-expressible so it gets an exact
-    oracle (unlike random-hyperplane LSH whose hashes differ across
-    engines)."""
+    """IVF ANN with a TRAINED coarse quantizer and multi-cell probing:
+    distributed seeded k-means (operators/ann.kmeans_centroids — 4
+    Lloyd steps over map-side partial sums, k-lowest-id init) trains
+    the 8 centroids; the index stores each vector in its nearest cell
+    and each query probes its 2 nearest cells (nprobe=2, the
+    recall/latency knob).  The trained centroids ride a side table
+    (the shared-constant convention: double summation order is
+    partition-dependent, so both engines must read the SAME floats)
+    and DuckDB re-derives everything downstream in SQL — assignment,
+    the probe set, the cell-pruned join, exact cosine re-rank, top-5."""
+    from .operators.ann import assign_cells, kmeans_centroids
     from .operators.dedup import cosine as cosine_expr
     emb = _read(spark, sf_dir, "embeddings")
     base = emb.select(F.col("vec_id").cast("bigint").alias("vec_id"),
                       F.transform("embedding",
                                   lambda x: x.cast("double")).alias("v"))
-    cents = base.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("c"))
+    _ensure_side_table(sf_dir, _IVF_CENTROIDS_PATH,
+                       lambda: kmeans_centroids(base, k=8, iters=4))
+    cents = (spark.read.parquet(_IVF_CENTROIDS_PATH)
+             .select("cent_id", "c"))
 
-    def assign(df, id_out):
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            F.col("vec_id").alias(id_out), "v", "cent_id",
-            cosine_expr(F.col("v"), F.col("c")).alias("ccos"))
-        w = Window.partitionBy(id_out).orderBy(F.desc("ccos"), "cent_id")
-        return (scored.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1).select(id_out, "v", "cent_id"))
-
-    queries = assign(base.where(F.col("vec_id") < 10), "query_id") \
-        .select("query_id", F.col("v").alias("q"), "cent_id")
-    neighbors = assign(base.where(F.col("vec_id") >= 10), "neighbor_id") \
-        .select("neighbor_id", F.col("v").alias("n"), "cent_id")
+    queries = (assign_cells(base.where(F.col("vec_id") < 10), cents,
+                            nprobe=2)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("q"), "cent_id"))
+    neighbors = (assign_cells(base.where(F.col("vec_id") >= 10), cents)
+                 .select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("v").alias("n"), "cent_id"))
     scored = (queries.join(neighbors, "cent_id")
               .select("query_id", "neighbor_id",
                       cosine_expr(F.col("q"), F.col("n")).alias("cos")))
@@ -2186,13 +2192,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("cos", 4).alias("cos_r")))
 
 
-_SQL_ANN_IVF = """
+_SQL_ANN_IVF = f"""
     WITH base AS (
         SELECT CAST(vec_id AS BIGINT) AS vec_id,
                CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings),
-    cents AS (SELECT vec_id AS cent_id, v AS c FROM base
-              WHERE vec_id < 8),
+    cents AS (SELECT cent_id, c
+              FROM read_parquet('{_IVF_CENTROIDS_PATH}/*.parquet')),
     assign AS (
         SELECT b.vec_id, b.v, t.cent_id,
                row_number() OVER (
@@ -2205,15 +2211,17 @@ _SQL_ANN_IVF = """
                                                            x -> x * x))))
                          DESC, t.cent_id) AS rn
         FROM base b, cents t),
-    cells AS (SELECT vec_id, v, cent_id FROM assign WHERE rn = 1),
+    cells AS (SELECT vec_id, v, cent_id FROM assign
+              WHERE rn = 1 AND vec_id >= 10),
+    probes AS (SELECT vec_id, v, cent_id FROM assign
+               WHERE rn <= 2 AND vec_id < 10),
     scored AS (
         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                list_sum(list_transform(list_zip(q.v, n.v),
                                        x -> x[1] * x[2]))
                / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
                   * sqrt(list_sum(list_transform(n.v, x -> x * x)))) AS cos
-        FROM cells q JOIN cells n ON q.cent_id = n.cent_id
-        WHERE q.vec_id < 10 AND n.vec_id >= 10),
+        FROM probes q JOIN cells n ON q.cent_id = n.cent_id),
     ranked AS (
         SELECT query_id, neighbor_id, cos,
                row_number() OVER (PARTITION BY query_id

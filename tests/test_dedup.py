@@ -190,3 +190,53 @@ def test_minhash_hot_block_salting_invariance(spark):
     maxg = max(r["count"] for r in occupancy)
     assert maxg <= 2 * group_size, maxg
     assert maxg * maxg < expected_pairs / 10
+
+
+def test_kmeans_centroids_blobs(spark):
+    """Distributed seeded Lloyd (operators/ann.kmeans_centroids) on 3
+    well-separated blobs: every point's nearest trained centroid is its
+    blob, trained centroids sit at the blob means, and assign_cells'
+    nprobe ranking is the deterministic (cosine DESC, cent_id) order."""
+    from edlib_spark.operators.ann import assign_cells, kmeans_centroids
+
+    rng = np.random.default_rng(11)
+    dim, per = 8, 30
+    centers = np.zeros((3, dim))
+    centers[0, 0] = centers[1, 1] = centers[2, 2] = 10.0
+    rows = []
+    for i in range(3 * per):
+        blob = i % 3          # ids interleave blobs, so the k-lowest-id
+        v = centers[blob] + 0.3 * rng.standard_normal(dim)  # init spans all 3
+        rows.append((i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+
+    cents = kmeans_centroids(vecs, k=3, iters=4)
+    got = {r["cent_id"]: np.array(r["c"]) for r in cents.collect()}
+    assert set(got) == {0, 1, 2}
+
+    # every trained centroid aligns with exactly one blob mean
+    blob_of_cent = {}
+    for cid, c in got.items():
+        cos = centers @ c / (np.linalg.norm(centers, axis=1)
+                             * np.linalg.norm(c))
+        assert cos.max() > 0.99, (cid, cos)
+        blob_of_cent[cid] = int(np.argmax(cos))
+    assert sorted(blob_of_cent.values()) == [0, 1, 2]
+
+    # every point lands in its blob's cell
+    assigned = assign_cells(vecs, cents).collect()
+    assert len(assigned) == 3 * per
+    for r in assigned:
+        assert blob_of_cent[r["cent_id"]] == r["vec_id"] % 3, r
+
+    # nprobe=2 returns two distinct cells per point in rank order
+    probed = assign_cells(vecs, cents, nprobe=2).collect()
+    by_id = {}
+    for r in probed:
+        by_id.setdefault(r["vec_id"], []).append(
+            (r["probe_rank"], r["cent_id"]))
+    for vid, lst in by_id.items():
+        ranks = sorted(lst)
+        assert [p for p, _ in ranks] == [1, 2]
+        assert ranks[0][1] != ranks[1][1]
+        assert blob_of_cent[ranks[0][1]] == vid % 3

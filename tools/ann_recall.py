@@ -149,6 +149,48 @@ def planted_sweep(vecs, target_cos, seed=7):
     return rows
 
 
+def ivf_nprobe_sweep(vecs, k_cents=8, iters=4):
+    """Recall@K vs nprobe for the TRAINED IVF quantizer in the uniform
+    (mid-similarity) regime — numpy mirror of
+    operators.ann.kmeans_centroids (same k-lowest-id init, same Lloyd
+    step count, cosine assignment with lowest-cent tie-break), queried
+    like ann_ivf_topk: index vectors live in their 1 nearest cell,
+    queries probe their nprobe nearest cells, exact rerank inside."""
+    def unit(x):
+        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True),
+                              1e-300)
+
+    cents = vecs[:k_cents].astype(np.float64).copy()
+    for _ in range(iters):
+        assign = np.argmax(unit(vecs) @ unit(cents).T, axis=1)
+        for c in range(k_cents):
+            members = vecs[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+
+    norm = unit(vecs)
+    q, nb = norm[:N_QUERY], norm[N_QUERY:]
+    sims = q @ nb.T
+    truth = np.argsort(-sims, axis=1, kind="stable")[:, :K]
+    csims_q = q @ unit(cents).T
+    cell_rank_q = np.argsort(-csims_q, axis=1, kind="stable")
+    cell_nb = np.argmax(nb @ unit(cents).T, axis=1)
+    rows = []
+    for nprobe in (1, 2, 4, 8):
+        hits = 0
+        cand_total = 0
+        for i in range(len(q)):
+            probed = set(cell_rank_q[i, :nprobe].tolist())
+            cand = {j for j in range(len(nb)) if int(cell_nb[j]) in probed}
+            cand_total += len(cand)
+            # IVF answer = top-K among candidates; recall vs true top-K
+            got = [j for j in truth[i] if j in cand]
+            hits += len(got)
+        rows.append((nprobe, hits / (len(q) * K),
+                     cand_total / (len(q) * len(nb))))
+    return rows
+
+
 def spark_validate():
     """The real operators, both regimes: (a) contract ann_lsh_topk and
     ann_ivf_topk vs ann_cosine_topk on the fixture (uniform regime);
@@ -210,6 +252,7 @@ def spark_validate():
 def main():
     ids, vecs = load_embeddings()
     uni, med_cos = uniform_sweep(ids, vecs)
+    ivf_rows = ivf_nprobe_sweep(vecs)
     p95 = planted_sweep(vecs, 0.95)
     p90 = planted_sweep(vecs, 0.90)
     for tag, rows in (("uniform", uni), ("planted95", p95),
@@ -217,6 +260,8 @@ def main():
         for r in rows:
             print(f"{tag} planes={r[0]} tables={r[1]} probes={r[2]} "
                   f"recall={r[3]:.3f} cand_frac={r[4]:.3f}")
+    for nprobe, rec, cf in ivf_rows:
+        print(f"ivf nprobe={nprobe} recall={rec:.3f} cand_frac={cf:.3f}")
     u_lsh, u_ivf, planted_spark = spark_validate()
     print(f"spark uniform lsh={u_lsh:.3f} ivf={u_ivf:.3f} "
           f"planted95={planted_spark:.3f}")
@@ -256,11 +301,30 @@ a true neighbor with probability ~{(1 - np.arccos(med_cos) / np.pi) ** 8:.3f};
 reaching 0.9 recall needs tens of tables probing most of the corpus
 (see cand_frac growing toward 1 above).  The engine's scale paths for
 mid-similarity top-k are **IVF** (`ann_ivf_topk`, cell-restricted
-exact rerank — Spark-measured recall@{K} **{u_ivf:.2f}** below) and
-the **blocked-GEMM exact scan** (the `embedding_cosine_neardup` plan
-shape, recall 1.0 at n*B shuffle cost).  `ann_lsh_topk` on this
-fixture measures **{u_lsh:.2f}** through the real operator —
-reported for honesty, not as a recommended use.
+exact rerank — Spark-measured recall@{K} **{u_ivf:.2f}** at nprobe=2
+below) and the **blocked-GEMM exact scan** (the
+`embedding_cosine_neardup` plan shape, recall 1.0 at n*B shuffle
+cost).  `ann_lsh_topk` on this fixture measures **{u_lsh:.2f}**
+through the real operator — reported for honesty, not as a
+recommended use.
+
+### IVF recall vs nprobe (trained quantizer, this regime)
+
+k-means trained exactly as `operators/ann.kmeans_centroids` (8
+centroids, 4 Lloyd steps, k-lowest-id init); index = 1 nearest cell,
+queries probe nprobe nearest cells, exact rerank inside:
+
+| nprobe | recall@{K} | cand_frac |
+|---|---|---|
+{chr(10).join(f"| {p} | {r:.3f} | {cf:.3f} |" for p, r, cf in ivf_rows)}
+
+nprobe is the recall/latency knob: each step of nprobe buys recall
+linearly in scanned fraction (cand_frac ~ nprobe/8 on this fixture,
+since uniform-direction vectors spread evenly across cells — real
+embedding corpora cluster, which moves the curve up-left).  The
+contract query ships nprobe=2 and stays hash-exact against the
+DuckDB oracle because the trained centroids ride a side table and
+every downstream step is re-derived in SQL.
 
 ## Regime 2 — planted near-dup retrieval (the LSH use case)
 
