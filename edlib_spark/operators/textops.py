@@ -59,21 +59,38 @@ def token_hashes(text: Column) -> Column:
 
 @pandas_udf(LongType())
 def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
-    """64-bit SimHash majority vote over pre-hashed tokens (vectorized
-    numpy bit unpacking; no string work in Python)."""
-    out = np.zeros(len(hashes), dtype=np.int64)
-    for i, hs in enumerate(hashes):
-        if hs is None or len(hs) == 0:
-            continue
-        a = np.asarray(hs, dtype=np.int64).view(np.uint64)
-        bits = ((a[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1))
-        votes = bits.sum(axis=0) * 2 > len(a)
-        word = np.uint64(0)
-        for b in np.nonzero(votes)[0]:
-            word |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(word.astype(np.int64))
-    return pd.Series(out)
+    """64-bit SimHash majority vote over pre-hashed tokens, flattened
+    across the whole Arrow batch (offsets + reduceat, the same one-pass
+    shape as multimodal.extract_feature_counts) — no per-row Python
+    iteration.  Bit-identical to the per-row formulation: per-bit vote
+    passes iff strictly more than half the token hashes set the bit;
+    empty/None rows hash to 0."""
+    n = len(hashes)
+    lists = [h if h is not None else () for h in hashes]
+    lens = np.fromiter((len(h) for h in lists), dtype=np.int64, count=n)
+    if n == 0 or not lens.any():
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    all_h = np.concatenate(
+        [np.asarray(h, dtype=np.int64) for h in lists if len(h)])
+    # bit matrix for the whole batch in one unpackbits (little bit +
+    # byte order => column b IS bit b of the hash)
+    bits = np.unpackbits(all_h.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little")
+    nz = lens > 0
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    # reduceat over non-empty row starts: empty rows occupy zero width,
+    # so each segment covers exactly one non-empty row's hashes.
+    # Transposed so the reduction runs along the contiguous axis
+    # (~2x faster than axis=0 reduceat on the row-major matrix).
+    bits_t = np.ascontiguousarray(bits.T).astype(np.int32)
+    sums = np.zeros((64, n), dtype=np.int32)
+    sums[:, nz] = np.add.reduceat(bits_t, starts[nz], axis=1)
+    votes = (sums.T.astype(np.int64) * 2) > lens[:, None]
+    packed = np.packbits(votes, axis=1, bitorder="little")
+    return pd.Series(
+        np.ascontiguousarray(packed).view(np.uint64).ravel()
+        .view(np.int64))
 
 
 def simhash(text: Column) -> Column:
