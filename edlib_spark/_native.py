@@ -778,12 +778,24 @@ def _build():
         so_candidates = [fn for fn in os.listdir(cache)
                          if fn.startswith(modname) and fn.endswith(".so")]
         if not so_candidates:
+            # Compile in a PRIVATE per-process dir, then atomically
+            # publish the .so: 32 Python UDF workers import this module
+            # near-simultaneously on a cold cache, and concurrent cffi
+            # compiles into one dir race on the output file (a reader
+            # can dlopen a half-written .so and silently fall back to
+            # numpy).  Concurrent builds waste CPU but every publish is
+            # atomic; session.get_spark pre-imports this module in the
+            # driver so the normal path is ONE compile, before workers.
+            builddir = os.path.join(cache, f"build-{os.getpid()}")
+            os.makedirs(builddir, exist_ok=True)
             builder.set_source(modname, _SOURCE,
                                extra_compile_args=["-O3", "-march=native"])
-            builder.compile(tmpdir=cache, verbose=False)
-            so_candidates = [fn for fn in os.listdir(cache)
-                             if fn.startswith(modname)
-                             and fn.endswith(".so")]
+            builder.compile(tmpdir=builddir, verbose=False)
+            built = [fn for fn in os.listdir(builddir)
+                     if fn.startswith(modname) and fn.endswith(".so")]
+            os.replace(os.path.join(builddir, built[0]),
+                       os.path.join(cache, built[0]))
+            so_candidates = [built[0]]
         import importlib.util
         spec = importlib.util.spec_from_file_location(
             modname, os.path.join(cache, so_candidates[0]))

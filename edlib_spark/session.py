@@ -17,6 +17,15 @@ def get_spark(app_name: str = "edlib-spark", master: str | None = None,
       * Arrow on (the scorer is an Arrow-batched pandas UDF),
       * shuffle partitions sized to the parallelism at hand.
     """
+    # Warm the cffi kernel's on-disk compile cache from THIS process
+    # before any executor exists: _native is imported lazily inside the
+    # scoring UDFs, so on a cold cache (every source change) the first
+    # kernel query would otherwise trigger up to 32 simultaneous g++
+    # compiles in the Python workers — several seconds of compile storm
+    # charged to whatever query ran first (the r4 bench's unexplained
+    # cold-time regression; see BENCH/BASELINE.md).
+    from . import _native  # noqa: F401
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
