@@ -400,7 +400,7 @@ def main():
     # over pair_scoring_ceiling_units_per_sec below so the headline's
     # stamps are always from ITS OWN silicon window
     results["pair_scoring_cold_ceiling_units_per_sec"] = {
-        "pre": round(pl_post, 2), "post": round(ps_post, 2)}
+        "pre": round(pw_post, 2), "post": round(ps_post, 2)}
     if not headline_from_scaling:
         results["pair_scoring_ceiling_units_per_sec"] = \
             results["pair_scoring_cold_ceiling_units_per_sec"]

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 
 UNSUPPORTED = -2147483648  # INT32_MIN sentinel: pair needs the numpy path
 
@@ -795,6 +796,7 @@ def _build():
                      if fn.startswith(modname) and fn.endswith(".so")]
             os.replace(os.path.join(builddir, built[0]),
                        os.path.join(cache, built[0]))
+            shutil.rmtree(builddir, ignore_errors=True)
             so_candidates = [built[0]]
         import importlib.util
         spec = importlib.util.spec_from_file_location(

@@ -106,6 +106,12 @@ def align_expr(query: Column, target: Column, mode: str = "NW",
     eqs = list(additional_equalities) if additional_equalities else None
     if cigar_format not in ("extended", "standard"):
         raise ValueError(f"invalid cigar_format {cigar_format!r}")
+    # validate eagerly (driver-side, before any job): the vectorized
+    # NW lane would otherwise treat an unknown task as 'path' while
+    # empty/HW/SHW rows raise from kernel.align — a typo must fail
+    # loudly and uniformly, not per-row depending on data content
+    if task not in kernel.TASKS:
+        raise ValueError(f"invalid task {task!r}")
 
     def _align_batch(qs: list, ts: list, ks) -> pd.DataFrame:
         dists = batch_edit_distance(qs, ts, mode, ks, equalities=eqs)

@@ -640,7 +640,14 @@ def _obtain_alignment(q_codes, t_codes, eq, sigma, best):
     nblocks = _ceil_div(qlen, WORD)
     w = nblocks * WORD - qlen
     mem = (2 * 8 + 4) * nblocks * tlen + 2 * 4 * tlen
-    if mem < _TRACEBACK_MEM_LIMIT:
+    # tlen == 1 must never reach _hirschberg: its left half would be
+    # empty and target_stop = left_width - 1 = -1 means "no stop /
+    # full save" to both scans (native saves every column, Python
+    # saves none), not the virtual initial column the crossing search
+    # expects — the native lane would search the wrong column and the
+    # Python lane would raise.  The direct traceback's saved band is a
+    # single column here (O(nblocks) memory), so it is always safe.
+    if mem < _TRACEBACK_MEM_LIMIT or tlen == 1:
         from . import _native
         path = _native.native_align_path(q_codes, t_codes, eq, sigma,
                                          best)

@@ -6,9 +6,10 @@ similarity search over embedding columns.  The IVF scale path needs a
 TRAINED coarse quantizer — this module provides seeded Lloyd
 iterations shaped for a 1000-executor cluster:
 
-  * assignment is a broadcast crossJoin against the k centroids (k*d
-    doubles — kilobytes) followed by a window top-1: the corpus is
-    never shuffled;
+  * assignment is row-local: the k centroids (k*d doubles —
+    kilobytes) are inlined as literals and each vector picks its
+    top-nprobe cells with an in-row comparator sort, so the corpus is
+    never joined, windowed, or shuffled;
   * the update step aggregates per-dimension partial sums map-side
     (posexplode -> hash aggregate, which Catalyst partial-aggregates
     inside each partition), so the shuffle carries at most
@@ -27,7 +28,7 @@ retraining on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import cosine
@@ -37,15 +38,36 @@ def assign_cells(vecs: DataFrame, cents: DataFrame, id_col: str = "vec_id",
                  nprobe: int = 1) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by cosine
     (deterministic (similarity DESC, cent_id) tie-break).  ``cents``:
-    (cent_id, c) — small, broadcast.  Returns (id_col, v, cent_id,
-    probe_rank)."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        id_col, "v", "cent_id",
-        cosine(F.col("v"), F.col("c")).alias("ccos"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), "cent_id")
-    return (scored.withColumn("probe_rank", F.row_number().over(w))
-            .where(F.col("probe_rank") <= nprobe)
-            .select(id_col, "v", "cent_id", "probe_rank"))
+    (cent_id, c) — small, collected to the driver (k*d doubles,
+    kilobytes) and inlined as literals.  Returns (id_col, v, cent_id,
+    probe_rank).
+
+    Zero shuffle: the top-nprobe over k centroids is computed row-
+    locally (array of (ccos, cent_id) structs -> comparator sort ->
+    slice -> posexplode), so the corpus is never repartitioned — the
+    earlier crossJoin + row_number window shuffled n*k rows each
+    carrying the full vector just to pick the top-1, which is exactly
+    the shape that breaks at 10^9 vectors."""
+    cent_rows = sorted(cents.select("cent_id", "c").collect(),
+                       key=lambda r: int(r["cent_id"]))
+    pairs = F.array(*[
+        F.struct(cosine(F.col("v"), F.lit(list(r["c"]))).alias("ccos"),
+                 F.lit(int(r["cent_id"])).cast("bigint").alias("cent_id"))
+        for r in cent_rows])
+    # comparator mirrors the oracle's ORDER BY ccos DESC, cent_id under
+    # IEEE compares (ties — incl. the ±0.0 corner — fall to cent_id)
+    ordered = F.array_sort(pairs, lambda a, b: (
+        F.when(a["ccos"] > b["ccos"], F.lit(-1))
+         .when(a["ccos"] < b["ccos"], F.lit(1))
+         .otherwise(F.when(a["cent_id"] < b["cent_id"], F.lit(-1))
+                    .when(a["cent_id"] > b["cent_id"], F.lit(1))
+                    .otherwise(F.lit(0)))))
+    return (vecs.select(id_col, "v",
+                        F.posexplode(F.slice(ordered, 1, nprobe))
+                        .alias("probe_idx", "probe"))
+            .select(id_col, "v",
+                    F.col("probe.cent_id").alias("cent_id"),
+                    (F.col("probe_idx") + 1).alias("probe_rank")))
 
 
 def kmeans_centroids(vecs: DataFrame, k: int = 8,

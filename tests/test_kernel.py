@@ -217,6 +217,28 @@ def test_hirschberg_long_path():
     assert r["editDistance"] == d
 
 
+def test_path_single_target_char_above_mem_limit():
+    """tlen == 1 with qlen large enough that the naive mem estimate
+    crosses _TRACEBACK_MEM_LIMIT must use the direct traceback, never
+    _hirschberg: its left half would be empty and target_stop = -1
+    means "full save / no stop" to the scans, not the virtual initial
+    column the crossing search expects (the native lane searched the
+    wrong column; the Python lane raised).  The single-column saved
+    band is O(nblocks) memory, so direct is always safe here."""
+    from edlib_spark.kernel import _TRACEBACK_MEM_LIMIT, _ceil_div, WORD
+    qlen = 3_400_000
+    nblocks = _ceil_div(qlen, WORD)
+    assert (2 * 8 + 4) * nblocks * 1 + 2 * 4 >= _TRACEBACK_MEM_LIMIT
+    rng = np.random.default_rng(11)
+    q = rng.integers(1, 5, qlen).astype(np.int64)
+    q[qlen // 2] = 0  # exactly one match available
+    q = q.tolist()
+    r = align(q, [0], mode="NW", task="path")
+    assert r["editDistance"] == qlen - 1
+    path = _cigar_to_moves(r["cigar"])
+    assert check_alignment(q, [0], path, 0, "NW") == qlen - 1
+
+
 def _cigar_to_moves(cigar):
     import re
     table = {"=": OP_MATCH, "I": OP_INSERT, "D": OP_DELETE, "X": OP_MISMATCH}

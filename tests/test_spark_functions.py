@@ -310,3 +310,15 @@ def test_align_expr_standard_cigar_spark_surface(spark):
         .alias("c")).collect()}
     assert got["telephone"] == "1I8M"
     assert got["caba"] == "2D1M1I2M1D"
+
+
+def test_align_expr_rejects_invalid_task_and_format():
+    """align_expr validates task and cigar_format eagerly, driver-side:
+    the vectorized NW lane would otherwise treat a typo'd task as
+    'path' for non-empty rows while empty/HW/SHW rows raise inside the
+    UDF — data-dependent failure instead of a loud immediate one."""
+    import pytest
+    with pytest.raises(ValueError, match="invalid task"):
+        align_expr(None, None, task="location")
+    with pytest.raises(ValueError, match="invalid cigar_format"):
+        align_expr(None, None, task="path", cigar_format="CIG_STD")

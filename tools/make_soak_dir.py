@@ -43,6 +43,16 @@ def main() -> None:
         src = os.path.join(SRC, f"{table}.parquet")
         cols = [c[0] for c in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{src}')").fetchall()]
+        # the per-copy shift only keeps keys unique while every source
+        # id stays below OFFSET — fail loudly instead of silently
+        # producing cross-copy collisions on a bigger source dir
+        for c in id_cols:
+            mx = con.execute(f"SELECT max({c}) FROM "
+                             f"read_parquet('{src}')").fetchone()[0]
+            if mx is not None and mx >= OFFSET:
+                raise SystemExit(
+                    f"{table}.{c} max {mx} >= OFFSET {OFFSET}; raise "
+                    f"OFFSET to keep per-copy ids disjoint")
         parts = []
         for k in range(COPIES):
             proj = ", ".join(
