@@ -173,3 +173,24 @@ def test_hw_shw_scoring_keeps_infix_and_prefix_matches(spark):
     nw = {(r.id_a, r.id_b) for r in
           score_pairs(pairs, canon, tau=0.2, mode="NW").collect()}
     assert nw == set(), nw
+
+
+def test_assign_cells_is_row_local_no_shuffle(spark):
+    """IVF cell assignment must never join, window, or shuffle the
+    corpus: the k centroids ride as literals and each row picks its
+    top-nprobe cells with an in-row comparator sort — the plan is
+    Scan -> Project -> Generate with zero Exchange (the pre-r5
+    crossJoin + row_number window shuffled n*k vector-carrying rows,
+    the shape that breaks at 10^9 vectors)."""
+    from edlib_spark.operators.ann import assign_cells
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    cents = base.limit(4).select(F.col("vec_id").alias("cent_id"),
+                                 F.col("v").alias("c"))
+    p = plan_of(assign_cells(base, cents, nprobe=2), "simple")
+    assert "Exchange" not in p, p
+    assert "Window" not in p, p
+    assert "Join" not in p, p
+    assert "EvalPython" not in p, p
