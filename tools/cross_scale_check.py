@@ -51,6 +51,13 @@ from check_contract import (TABLES, frame_hash, make_duckdb_views,  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 STRATUM = os.environ.get("XS_STRATUM", "07")
+# XS_FRESH=1: the three read-back checks execute the Spark query a
+# SECOND time instead of rereading the certificate side table, so
+# run-to-run nondeterminism in those queries is caught (ADVICE r4:
+# the reread saves one expensive execution but can't see it).  The
+# side table is still written either way — the certificate oracles
+# need it.  Costs roughly one extra full edge derivation per query.
+XS_FRESH = os.environ.get("XS_FRESH") == "1"
 DATA = "/root/repo/data"
 
 
@@ -72,10 +79,15 @@ def _write_edges(df, path: str) -> str:
     return f"SELECT id_a, id_b FROM read_parquet('{path}/*.parquet')"
 
 
-def _read_back(spark, sql_fn, path: str):
+def _read_back(spark, sql_fn, path: str, fresh_fn=None):
     """Materialize the side table (sql_fn writes it as a side effect)
-    then read it back as the Spark side of a sampled check."""
+    then read it back as the Spark side of a sampled check — or, under
+    XS_FRESH=1, return a fresh second execution of the query instead
+    (nondeterminism coverage; the side table is still written for the
+    certificate oracles)."""
     sql_fn()
+    if XS_FRESH and fresh_fn is not None:
+        return fresh_fn()
     return spark.read.parquet(path)
 
 
@@ -126,13 +138,17 @@ def build_overrides(spark, sf_dir):
             sampled),
         "match_edges": (
             lambda: _read_back(spark, match_edge_sql,
-                               f"{DATA}/xs_event_edges.parquet")
+                               f"{DATA}/xs_event_edges.parquet",
+                               lambda: dc.match_edges_events(
+                                   spark, sf_dir))
                     .where(_stratum_col()),
             lambda: dc._sql_edges(_stratum_sql("p.id_a", "p.id_b")),
             sampled),
         "doc_minhash_neardup": (
             lambda: _read_back(spark, doc_edge_sql,
-                               f"{DATA}/xs_doc_edges.parquet")
+                               f"{DATA}/xs_doc_edges.parquet",
+                               lambda: dc.doc_minhash_neardup(
+                                   spark, sf_dir))
                     .where(_stratum_col()),
             lambda: dc._sql_minhash_neardup(
                 _stratum_sql("a.doc_id", "b.doc_id")),
@@ -165,7 +181,9 @@ def build_overrides(spark, sf_dir):
         # Spark-derived, so the reread loses no independence.
         "training_edges_sampled": (
             lambda: _read_back(spark, training_edge_sql,
-                               f"{DATA}/xs_training_edges.parquet")
+                               f"{DATA}/xs_training_edges.parquet",
+                               lambda: dc._training_exact_and_edges(
+                                   spark, sf_dir)[1])
                     .where(_stratum_col()),
             lambda: f"""
                 WITH {dc._sql_training_stages()}
