@@ -13,7 +13,9 @@ is independently re-derived:
   (default '07' = 8/256 ~ 3.1%).  Spark filters its full output
   (for the two queries that also feed cluster certificates, the full
   output is written once to the side table and the sampled check
-  reads it back filtered — one execution, no lost independence);
+  reads it back filtered — one execution, no lost independence;
+  XS_FRESH=1 re-executes those queries fresh instead, trading one
+  extra execution for run-to-run nondeterminism coverage);
   DuckDB pushes the identical predicate below its expensive
   levenshtein / list_intersect projection, so the oracle recomputes
   the stratum EXHAUSTIVELY and the hashes must match exactly.  md5 of
@@ -98,35 +100,40 @@ def build_overrides(spark, sf_dir):
 
     edge_sql_cache: dict[str, str] = {}
 
-    # The two expensive edge producers run ONCE each: the full output
-    # is written to the certificate side table, the sampled check reads
-    # it back with the stratum filter (both sides are Spark-derived, so
-    # the reread loses no independence — same convention as the
-    # training edges below), and the cluster certificates project
-    # id_a/id_b from the same table.
+    # Single definition per edge producer: the side-table writer AND
+    # the XS_FRESH fresh_fn both call the same lambda, so the query
+    # whose output feeds the certificate tables can never drift from
+    # the one the fresh mode re-verifies.
+    # (training keeps inter/union too: the sampled edge check rereads
+    # that table instead of recomputing the whole chain; the
+    # certificate SQL projects only id_a/id_b from it.)
+    produce = {
+        "events": lambda: dc.match_edges_events(spark, sf_dir),
+        "docs": lambda: dc.doc_minhash_neardup(spark, sf_dir),
+        "training": lambda: dc._training_exact_and_edges(spark,
+                                                         sf_dir)[1],
+    }
+
+    # The expensive edge producers run ONCE each (twice under
+    # XS_FRESH=1 — the fresh re-execution is the point there): the
+    # full output is written to the certificate side table, the
+    # sampled check reads it back with the stratum filter (both sides
+    # are Spark-derived, so the reread loses no independence), and
+    # the cluster certificates project id_a/id_b from the same table.
+    def _edge_sql(key: str, path: str) -> str:
+        if key not in edge_sql_cache:
+            edge_sql_cache[key] = _write_edges(produce[key](), path)
+        return edge_sql_cache[key]
+
     def match_edge_sql() -> str:
-        if "events" not in edge_sql_cache:
-            edge_sql_cache["events"] = _write_edges(
-                dc.match_edges_events(spark, sf_dir),
-                f"{DATA}/xs_event_edges.parquet")
-        return edge_sql_cache["events"]
+        return _edge_sql("events", f"{DATA}/xs_event_edges.parquet")
 
     def doc_edge_sql() -> str:
-        if "docs" not in edge_sql_cache:
-            edge_sql_cache["docs"] = _write_edges(
-                dc.doc_minhash_neardup(spark, sf_dir),
-                f"{DATA}/xs_doc_edges.parquet")
-        return edge_sql_cache["docs"]
+        return _edge_sql("docs", f"{DATA}/xs_doc_edges.parquet")
 
     def training_edge_sql() -> str:
-        if "training" not in edge_sql_cache:
-            _, edges = dc._training_exact_and_edges(spark, sf_dir)
-            # keep inter/union too: the sampled edge check rereads
-            # this table instead of recomputing the whole chain (the
-            # certificate SQL projects only id_a/id_b from it)
-            edge_sql_cache["training"] = _write_edges(
-                edges, f"{DATA}/xs_training_edges.parquet")
-        return edge_sql_cache["training"]
+        return _edge_sql("training",
+                         f"{DATA}/xs_training_edges.parquet")
 
     sampled = f"sampled {STRATUM} stratum"
     over = {
@@ -139,16 +146,14 @@ def build_overrides(spark, sf_dir):
         "match_edges": (
             lambda: _read_back(spark, match_edge_sql,
                                f"{DATA}/xs_event_edges.parquet",
-                               lambda: dc.match_edges_events(
-                                   spark, sf_dir))
+                               produce["events"])
                     .where(_stratum_col()),
             lambda: dc._sql_edges(_stratum_sql("p.id_a", "p.id_b")),
             sampled),
         "doc_minhash_neardup": (
             lambda: _read_back(spark, doc_edge_sql,
                                f"{DATA}/xs_doc_edges.parquet",
-                               lambda: dc.doc_minhash_neardup(
-                                   spark, sf_dir))
+                               produce["docs"])
                     .where(_stratum_col()),
             lambda: dc._sql_minhash_neardup(
                 _stratum_sql("a.doc_id", "b.doc_id")),
@@ -178,12 +183,12 @@ def build_overrides(spark, sf_dir):
         # Read back from the certificate side table (written by the
         # doc_training_corpus check earlier in the run) instead of
         # recomputing the full quality+dedup+minhash pass — both are
-        # Spark-derived, so the reread loses no independence.
+        # Spark-derived, so the reread loses no independence
+        # (recomputed fresh under XS_FRESH=1).
         "training_edges_sampled": (
             lambda: _read_back(spark, training_edge_sql,
                                f"{DATA}/xs_training_edges.parquet",
-                               lambda: dc._training_exact_and_edges(
-                                   spark, sf_dir)[1])
+                               produce["training"])
                     .where(_stratum_col()),
             lambda: f"""
                 WITH {dc._sql_training_stages()}

@@ -44,15 +44,19 @@ def main() -> None:
         cols = [c[0] for c in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{src}')").fetchall()]
         # the per-copy shift only keeps keys unique while every source
-        # id stays below OFFSET — fail loudly instead of silently
+        # id sits in [0, OFFSET) — fail loudly instead of silently
         # producing cross-copy collisions on a bigger source dir
+        # (negative ids would slide one copy's range into another's
+        # even with max(id) < OFFSET)
         for c in id_cols:
-            mx = con.execute(f"SELECT max({c}) FROM "
-                             f"read_parquet('{src}')").fetchone()[0]
-            if mx is not None and mx >= OFFSET:
+            mn, mx = con.execute(
+                f"SELECT min({c}), max({c}) FROM "
+                f"read_parquet('{src}')").fetchone()
+            if mx is not None and (mn < 0 or mx >= OFFSET):
                 raise SystemExit(
-                    f"{table}.{c} max {mx} >= OFFSET {OFFSET}; raise "
-                    f"OFFSET to keep per-copy ids disjoint")
+                    f"{table}.{c} range [{mn}, {mx}] outside "
+                    f"[0, {OFFSET}); raise OFFSET to keep per-copy "
+                    f"ids disjoint")
         parts = []
         for k in range(COPIES):
             proj = ", ".join(
