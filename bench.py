@@ -579,6 +579,26 @@ overlaps I/O with compute, which the pure-CPU ceiling cannot; below
 columns above make such visits visible).
 
 Headline per-query seconds at sf={results['sf']}: see BENCH_r*.json.
+
+## Reading pair_scoring_cold_sec across rounds
+
+This run's cold shot (fresh session, first scoring run):
+{results.get('pair_scoring_cold_sec', '?')} s.  Cold samples swing
+widely across solo runs (12.5-40 s seen at comparable ceiling
+stamps) because the number is dominated by OS-level spawn + module
+import of the 32 Python workers, not by the plan: a warm-up probe
+that only spawns the fleet (import pandas/pyarrow/numpy + the cached
+native kernel, 0.03 s median per worker) accounts for most of the
+cold-vs-warm gap, a fixed per-session cost that amortizes over any
+real workload and disappears under spark.python.worker.reuse (on by
+default; the fleet persists across jobs within a session).
+
+The r4-vs-r5 cold question was settled by an interleaved A/B (fresh
+process per visit, alternating r5/r4, 3 rounds): r5 12.5/20.5/12.7 s
+vs r4 105.4/12.9/14.2 s — parity within the host's documented drift
+once r4's compile cache is warm, and r5 structurally removes the
+105 s first-cache-cold catastrophe (the 32-worker g++ compile storm)
+via driver-side pre-compile + atomic publish of the native kernel.
 """
     with open("/root/repo/BENCH/BASELINE.md", "w") as fh:
         fh.write(md)
