@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.alignment import align_expr, edit_distance
-from .operators.blocking import minhash_blocks
+from .operators.blocking import minhash_blocks, sorted_neighborhood_pairs
 from .operators.canonicalize import canonicalize
 from .operators.clustering import cluster_assignments
 from .operators.pairs import candidate_pairs
@@ -388,6 +388,55 @@ _SQL_DOC_DEDUP = """
     SELECT CAST(min(doc_id) AS BIGINT) AS rep_id,
            CAST(count(*) AS BIGINT) AS dup_count
     FROM documents GROUP BY text
+"""
+
+
+# SNM window of 8 records -> rank gap in [1, 7]
+_SNM_WINDOW = 8
+
+
+def snm_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (the third classic ER blocking
+    family next to key-equality blocks and LSH): sort documents by a
+    domain key (text with spaces squeezed out, first 12 chars), slide
+    a window of 8, emit co-window pairs.  Unlike key-equality blocks
+    the output is exactly O(n * window) with no hot-block skew by
+    construction; the rank is computed scale-safely (range partition +
+    offset ranks, no single-partition window — operators/blocking.py
+    snm_ranks)."""
+    docs = _read(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.col("doc_id").alias("rec_id"),
+        F.substring(F.translate(F.col("text"), " ", ""), 1, 12)
+        .alias("snm_key"))
+    return (sorted_neighborhood_pairs(keyed, key_col="snm_key",
+                                      id_col="rec_id",
+                                      window=_SNM_WINDOW)
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    F.col("rank_gap").cast("bigint").alias("rank_gap")))
+
+
+# The oracle re-derives the WHOLE operator independently: the same key,
+# one ANSI row_number over the total order (fine single-node at oracle
+# scale), and a rank-band self-join.  Spark and DuckDB both compare
+# strings bytewise (fixtures are ASCII anyway) and the (key, doc_id)
+# order is total, so ranks agree exactly.
+_SQL_SNM_PAIRS = f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               substr(replace(text, ' ', ''), 1, 12) AS snm_key
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY snm_key, doc_id) AS rnk
+        FROM keyed
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap
+    FROM ranked a JOIN ranked b
+      ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
 """
 
 
@@ -2574,6 +2623,7 @@ def build_queries():
         "nw_distance_documents": nw_distance_documents,
         "nw_distance_documents_k": nw_distance_documents_k,
         "doc_exact_dedup": doc_exact_dedup,
+        "snm_pairs_documents": snm_pairs_documents,
         "doc_token_stats": doc_token_stats,
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_quality": doc_quality,
@@ -2630,6 +2680,7 @@ def build_oracle_sql():
         "nw_distance_documents": _SQL_NW_DOCUMENTS,
         "nw_distance_documents_k": _SQL_NW_DOCUMENTS_K,
         "doc_exact_dedup": _SQL_DOC_DEDUP,
+        "snm_pairs_documents": _SQL_SNM_PAIRS,
         "doc_token_stats": _SQL_DOC_TOKENS,
         "doc_bpe_tokens": _SQL_BPE_TOKENS,
         "doc_quality": _SQL_DOC_QUALITY,

@@ -1,7 +1,9 @@
-"""Locality-sensitive blocking keys: geometric length bands + MinHash LSH.
+"""Blocking strategies: geometric length bands, MinHash LSH, and
+sorted-neighborhood (SNM).
 
 Everything here is JVM-side Catalyst expressions (higher-order array
-functions + xxhash64); no Python executes per row.
+functions + xxhash64); no Python executes per row (snm_ranks adds one
+bounded driver collect of #partitions count rows).
 
 Length bands: for the NW threshold ``dist <= tau * max(len_a, len_b)``
 any match satisfies len ratio >= 1 - tau, so geometric bands with ratio
@@ -19,7 +21,7 @@ collide on at least one band with high probability.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: modulus for the affine minhash permutations
@@ -118,6 +120,94 @@ def minhash_blocks(canon: DataFrame, num_hashes: int = 16, bands: int = 4,
     ])
     return (with_sig
             .select("conv_id", F.explode(keys).alias("block_key")))
+
+
+def snm_ranks(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Global 1-based rank over ``(key_col, id_col)`` WITHOUT a
+    single-partition window.
+
+    The classic formulation (``row_number() OVER (ORDER BY key)``) is a
+    correctness trap at scale: Spark executes an un-partitioned window
+    by funnelling every row through ONE task.  Instead:
+
+    1. range-repartition on ``(key, id)`` (ordered, boundary-balanced
+       partitions; the composite key lets a hot key split by id),
+    2. pin the partitioning with a lazy ``localCheckpoint`` — the
+       per-partition counts job and the downstream window MUST see the
+       same range boundaries, and Spark re-samples RangePartitioner
+       bounds per action otherwise,
+    3. per-partition local ``row_number`` plus a literal-map offset by
+       partition id (one bounded ``collect`` of #partitions rows, the
+       same pattern as plans/catalog lineage).
+
+    Rank values are independent of where the range boundaries fall, so
+    the output is deterministic even though the sampled boundaries are
+    not.  ``key_col`` must be non-null: Spark sorts nulls first,
+    DuckDB's default is nulls last, so a nullable key would diverge
+    from any SQL re-derivation (coalesce upstream).
+    """
+    part_df = (df.select(id_col, key_col)
+               .repartitionByRange(key_col, id_col)
+               .withColumn("_part", F.spark_partition_id())
+               .localCheckpoint(eager=False))
+    counts = sorted((r["_part"], r["cnt"]) for r in
+                    part_df.groupBy("_part")
+                    .agg(F.count(F.lit(1)).alias("cnt")).collect())
+    if not counts:
+        return df.select(id_col, key_col,
+                         F.lit(0).cast("bigint").alias("rank")).limit(0)
+    offsets, running = {}, 0
+    for part, cnt in counts:
+        offsets[part] = running
+        running += cnt
+    # offsets as bigint literals: a 32-bit map value would overflow at
+    # ~2B rows, exactly the scale this rank formulation exists for
+    offset_map = F.create_map(
+        *[c for part in offsets
+          for c in (F.lit(part), F.lit(offsets[part]).cast("bigint"))])
+    local = F.row_number().over(
+        Window.partitionBy("_part").orderBy(key_col, id_col))
+    return part_df.select(
+        id_col, key_col,
+        (F.element_at(offset_map, F.col("_part"))
+         + local.cast("bigint")).alias("rank"))
+
+
+def sorted_neighborhood_pairs(df: DataFrame, key_col: str, id_col: str,
+                              window: int = 8) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): sort by
+    a domain key, slide a window of ``window`` records, emit every pair
+    that co-occurs in some window — i.e. all pairs with rank gap in
+    ``[1, window-1]``.
+
+    The pair stage is an equi-join on ``floor((rank-1) / W)`` with each
+    left row exploded to (block, block+1): any pair with gap <= W spans
+    at most adjacent blocks, blocks have exactly W members by
+    construction (no skew possible, unlike key-equality blocking), and
+    output is O(n * W) — the property that makes SNM attractive at
+    100 TB.  Returns (id_a, id_b, rank_gap) ordered by rank (id_a is
+    the lower-ranked record, not necessarily the lower id).
+    """
+    if window < 2:
+        ranked = snm_ranks(df, key_col, id_col)
+        return ranked.select(
+            F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
+            F.col("rank").alias("rank_gap")).limit(0)
+    gap = window - 1
+    ranked = snm_ranks(df, key_col, id_col)
+    blk = F.floor((F.col("rank") - 1) / gap)
+    left = ranked.select(
+        F.col(id_col).alias("id_a"), F.col("rank").alias("rank_a"),
+        F.explode(F.array(blk, blk + 1)).alias("_blk"))
+    right = ranked.select(
+        F.col(id_col).alias("id_b"), F.col("rank").alias("rank_b"),
+        blk.alias("_blk"))
+    return (left.join(right, "_blk")
+            .where((F.col("rank_b") > F.col("rank_a"))
+                   & (F.col("rank_b") <= F.col("rank_a") + gap))
+            .select("id_a", "id_b",
+                    (F.col("rank_b") - F.col("rank_a"))
+                    .cast("bigint").alias("rank_gap")))
 
 
 def all_blocks(canon: DataFrame, tau: float = 0.2, use_minhash: bool = True,
