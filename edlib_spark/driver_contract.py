@@ -2282,6 +2282,124 @@ _SQL_ANN_IVF = f"""
 """
 
 
+_PQ_BOOKS_PATH = os.path.join(_REPO_ROOT, "data",
+                              "pq_codebooks_current.parquet")
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the memory-compressed scale path (a 10^9-vector
+    f64 index is ~0.5 TB raw; PQ stores m=4 codes + a cell id per
+    vector).  Coarse stage: the SAME trained k-means cells and nprobe=2
+    probing as ann_ivf_topk (side-table centroids shared).  Fine stage:
+    non-residual product quantization — 4 subspaces x 16 codewords
+    trained by seeded per-slice Lloyd (operators/ann.pq_codebooks),
+    neighbors encoded row-locally to their nearest codeword per
+    subspace, queries build a 4x16 LUT of subspace distances, and the
+    asymmetric distance (ADC) is a pure table-lookup fold — no
+    full-dimension arithmetic inside the probed cells.  Top-5 per query
+    by (ADC ASC, neighbor_id).  Codebooks + centroids ride side tables
+    (partition-order float sums), and DuckDB re-derives assignment,
+    codes, LUTs, ADC, and the ranking from those shared floats."""
+    from .operators.ann import (_books_by_sub, assign_cells,
+                                kmeans_centroids, pq_adc_expr,
+                                pq_codebooks, pq_encode_expr, pq_lut_expr)
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.transform("embedding",
+                                  lambda x: x.cast("double")).alias("v"))
+    _ensure_side_table(sf_dir, _IVF_CENTROIDS_PATH,
+                       lambda: kmeans_centroids(base, k=8, iters=4))
+    cents = (spark.read.parquet(_IVF_CENTROIDS_PATH)
+             .select("cent_id", "c"))
+    _ensure_side_table(sf_dir, _PQ_BOOKS_PATH,
+                       lambda: pq_codebooks(base, m=4, k=16, iters=3))
+    books = _books_by_sub(spark.read.parquet(_PQ_BOOKS_PATH).collect())
+
+    neighbors = (assign_cells(base.where(F.col("vec_id") >= 10), cents)
+                 .select(F.col("vec_id").alias("neighbor_id"), "cent_id",
+                         pq_encode_expr(F.col("v"), books).alias("codes")))
+    queries = (assign_cells(base.where(F.col("vec_id") < 10), cents,
+                            nprobe=2)
+               .select(F.col("vec_id").alias("query_id"), "cent_id",
+                       pq_lut_expr(F.col("v"), books).alias("luts")))
+    scored = (queries.join(neighbors, "cent_id")
+              .select("query_id", "neighbor_id",
+                      pq_adc_expr(F.col("codes"),
+                                  F.col("luts")).alias("adc")))
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.round("adc", 4).alias("adc_r")))
+
+
+# IVF-PQ oracle: coarse assignment identical to _SQL_ANN_IVF from the
+# shared centroid side table; PQ codes/LUT/ADC re-derived from the
+# shared codebooks — subdist holds every (vector, subspace, codeword)
+# squared-L2 (the same (p-q)*(p-q) sequential fold), codes is the
+# per-(vector, subspace) argmin with the cent_id tie-break, and ADC is
+# list_sum over the sub_id-ordered lookups (the fold order the Spark
+# side uses).  dsub = 16 at d = 64, m = 4.
+_SQL_ANN_IVFPQ = f"""
+    WITH base AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+    cents AS (SELECT cent_id, c
+              FROM read_parquet('{_IVF_CENTROIDS_PATH}/*.parquet')),
+    books AS (SELECT sub_id, cent_id, c
+              FROM read_parquet('{_PQ_BOOKS_PATH}/*.parquet')),
+    assign AS (
+        SELECT b.vec_id, b.v, t.cent_id,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_sum(list_transform(list_zip(b.v, t.c),
+                                                    x -> x[1] * x[2]))
+                         / (sqrt(list_sum(list_transform(b.v,
+                                                         x -> x * x)))
+                            * sqrt(list_sum(list_transform(t.c,
+                                                           x -> x * x))))
+                         DESC, t.cent_id) AS rn
+        FROM base b, cents t),
+    cells AS (SELECT vec_id, v, cent_id FROM assign
+              WHERE rn = 1 AND vec_id >= 10),
+    probes AS (SELECT vec_id, cent_id FROM assign
+               WHERE rn <= 2 AND vec_id < 10),
+    subdist AS (
+        SELECT b.vec_id, k.sub_id, k.cent_id,
+               list_sum(list_transform(
+                   list_zip(list_slice(b.v, k.sub_id * 16 + 1,
+                                       k.sub_id * 16 + 16), k.c),
+                   x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+        FROM base b, books k),
+    codes AS (
+        SELECT vec_id, sub_id, cent_id FROM (
+            SELECT vec_id, sub_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id, sub_id
+                                      ORDER BY d, cent_id) AS rn
+            FROM subdist) WHERE rn = 1),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               list_sum(list(qd.d ORDER BY qd.sub_id)) AS adc
+        FROM probes q
+        JOIN cells n ON q.cent_id = n.cent_id
+        JOIN codes cn ON cn.vec_id = n.vec_id
+        JOIN subdist qd ON qd.vec_id = q.vec_id
+                       AND qd.sub_id = cn.sub_id
+                       AND qd.cent_id = cn.cent_id
+        GROUP BY q.vec_id, n.vec_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(adc, 4) AS adc_r
+    FROM ranked WHERE rank <= 5
+"""
+
+
 # Full SQL re-derivation of the multi-table multi-probe LSH ANN from
 # the shared plane constants: per-(vec, table) dots -> base key +
 # margin-ordered probe flips (queries) / base key only (index) ->
@@ -2657,6 +2775,7 @@ def build_queries():
         "doc_simhash_neardup": doc_simhash_neardup,
         "embedding_cosine_neardup": embedding_cosine_neardup,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "media_decode_meta": media_decode_meta,
         "media_frame_sample": media_frame_sample,
@@ -2696,6 +2815,7 @@ def build_oracle_sql():
         "doc_training_corpus": _sql_doc_training_corpus(),
         "embedding_cosine_neardup": _SQL_COSINE_NEARDUP,
         "ann_ivf_topk": _SQL_ANN_IVF,
+        "ann_ivfpq_topk": _SQL_ANN_IVFPQ,
         "shw_distance_exact": _SQL_SHW_EXACT,
         "hw_distance_exact": _SQL_HW_EXACT,
         "hw_locations_exact": _SQL_HW_LOCATIONS_EXACT,

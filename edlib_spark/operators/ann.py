@@ -28,7 +28,7 @@ retraining on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import cosine
@@ -109,3 +109,142 @@ def kmeans_centroids(vecs: DataFrame, k: int = 8,
     return spark.createDataFrame(
         [(int(i), c) for i, c in sorted(centroids.items())],
         "cent_id bigint, c array<double>")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ): the memory-compressed ANN scale path.
+# A 10^9-vector index at d=64 float64 is ~512 GB of raw vectors; PQ
+# stores one byte per subspace per vector (m=4 -> 4 bytes + the coarse
+# cell id), and queries scan cells by table lookup (ADC) instead of
+# full-dimension arithmetic.  Non-residual PQ (codebooks trained on raw
+# vectors, not coarse residuals): parity-simplest, and the variant
+# faiss exposes as by_residual=False.  All per-row math is Catalyst
+# higher-order folds — bit-identical to DuckDB's sequential list_sum,
+# which is what lets the contract hash the whole path exactly.
+# ---------------------------------------------------------------------------
+
+def _l2sq_lit(x: Column, c: list) -> Column:
+    """Squared L2 distance from an array<double> column to a literal
+    codeword, as the sequential left fold (p-q)^2 both engines share."""
+    return F.aggregate(
+        F.zip_with(x, F.lit([float(v) for v in c]),
+                   lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _sub(v: Column, j: int, dsub: int) -> Column:
+    return F.slice(v, j * dsub + 1, dsub)
+
+
+def pq_codebooks(vecs: DataFrame, m: int = 4, k: int = 16,
+                 iters: int = 3) -> DataFrame:
+    """Train per-subspace codebooks: split d dims into ``m`` contiguous
+    subspaces, seeded Lloyd on each slice.  All m trainings are FUSED
+    into one job per iteration (each vector explodes to its m
+    (sub_id, nearest-code, slice) structs with every codebook inlined,
+    then one per-(sub, cent, dim) partial-sum aggregate) — ``iters``
+    passes over the corpus total, not ``m * iters``; the shuffle
+    carries <= m*k*dsub rows per partition.  Init: the k lowest-id
+    vectors' slices.  Returns (sub_id BIGINT, cent_id BIGINT,
+    c ARRAY<DOUBLE>) — m*k rows, driver-held, tiny.  Same determinism
+    caveat as kmeans_centroids: ride a side table for anything
+    oracle-graded."""
+    spark = vecs.sparkSession
+    d = len(vecs.select("v").first()["v"])
+    assert d % m == 0, (d, m)
+    dsub = d // m
+    init = vecs.orderBy("vec_id").limit(k).select("v").collect()
+    books = {j: [(i, list(r["v"])[j * dsub:(j + 1) * dsub])
+                 for i, r in enumerate(init)]
+             for j in range(m)}
+
+    for _ in range(iters):
+        assigned = vecs.select(F.explode(F.array(*[
+            F.struct(F.lit(j).cast("bigint").alias("sub_id"),
+                     _nearest_code(_sub(F.col("v"), j, dsub),
+                                   books[j]).alias("cent_id"),
+                     _sub(F.col("v"), j, dsub).alias("sv"))
+            for j in range(m)])).alias("a")).select("a.*")
+        sums = (assigned.select("sub_id", "cent_id",
+                                F.posexplode("sv").alias("pos", "val"))
+                .groupBy("sub_id", "cent_id", "pos")
+                .agg(F.sum("val").alias("s"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect())
+        by_cell: dict[tuple, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault((int(r["sub_id"]), int(r["cent_id"])),
+                               {})[int(r["pos"])] = \
+                float(r["s"]) / float(r["n"])
+        for (j, cid), dims in by_cell.items():
+            cents = dict(books[j])
+            cents[cid] = [dims[p] for p in range(len(dims))]
+            books[j] = sorted(cents.items())
+        # (sub, cent) cells absent from sums were empty: codeword kept
+
+    return spark.createDataFrame(
+        [(j, int(cid), c) for j in sorted(books)
+         for cid, c in books[j]],
+        "sub_id bigint, cent_id bigint, c array<double>")
+
+
+def _books_by_sub(book_rows) -> dict:
+    """{sub_id: [(cent_id, codeword), ...] sorted by cent_id} from
+    collected (sub_id, cent_id, c) rows."""
+    books: dict[int, list] = {}
+    for r in book_rows:
+        books.setdefault(int(r["sub_id"]), []).append(
+            (int(r["cent_id"]), list(r["c"])))
+    return {j: sorted(cents) for j, cents in books.items()}
+
+
+def _nearest_code(sub: Column, cents: list) -> Column:
+    """Nearest codeword id for one subspace slice, row-locally:
+    codewords inlined as literals, argmin by (l2sq ASC, cent_id) via a
+    comparator sort — the zero-shuffle shape of assign_cells."""
+    pairs = F.array(*[
+        F.struct(_l2sq_lit(sub, c).alias("d"),
+                 F.lit(int(cid)).cast("bigint").alias("cent_id"))
+        for cid, c in cents])
+    ordered = F.array_sort(pairs, lambda a, b: (
+        F.when(a["d"] < b["d"], F.lit(-1))
+         .when(a["d"] > b["d"], F.lit(1))
+         .otherwise(F.when(a["cent_id"] < b["cent_id"], F.lit(-1))
+                    .when(a["cent_id"] > b["cent_id"], F.lit(1))
+                    .otherwise(F.lit(0)))))
+    return F.element_at(ordered, 1)["cent_id"]
+
+
+def pq_encode_expr(v: Column, books: dict) -> Column:
+    """array<bigint> of per-subspace nearest-codeword ids."""
+    codes = []
+    for j in sorted(books):
+        cents = books[j]
+        dsub = len(cents[0][1])
+        codes.append(_nearest_code(_sub(v, j, dsub), cents))
+    return F.array(*codes)
+
+
+def pq_lut_expr(v: Column, books: dict) -> Column:
+    """array<array<double>>: per subspace (outer, sub order), the
+    squared L2 from this vector's slice to every codeword (inner,
+    cent_id order — so ADC can index it by code+1)."""
+    luts = []
+    for j in sorted(books):
+        cents = books[j]
+        dsub = len(cents[0][1])
+        sub = _sub(v, j, dsub)
+        assert [cid for cid, _ in cents] == list(range(len(cents)))
+        luts.append(F.array(*[_l2sq_lit(sub, c) for _, c in cents]))
+    return F.array(*luts)
+
+
+def pq_adc_expr(codes: Column, luts: Column) -> Column:
+    """Asymmetric distance: sum over subspaces of lut[sub][code[sub]],
+    as the sequential sub-order fold (matches list_sum over a
+    sub_id-ordered list in SQL)."""
+    return F.aggregate(
+        F.zip_with(codes, luts,
+                   lambda code, lut: F.element_at(lut,
+                                                  code.cast("int") + 1)),
+        F.lit(0.0), lambda acc, v: acc + v)

