@@ -440,6 +440,125 @@ _SQL_SNM_PAIRS = f"""
 """
 
 
+_FS_PARAMS_PATH = os.path.join(_REPO_ROOT, "data",
+                               "fs_params_current.parquet")
+_FS_N_FIELDS = 4
+_FS_BAND = 64  # n_chars length-band width (field 2)
+
+
+def _fs_pairs_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNM candidate pairs (same key/window as snm_pairs_documents)
+    joined to both sides' comparison fields, with the four FS
+    agreement flags f0..f3 and the packed pattern.  Field order (the
+    order EM, the posterior product, and the oracle all share):
+    0 lang, 1 source, 2 length band (n_chars div 64), 3 key prefix."""
+    from .operators.linkage import agreement_bits
+    docs = _read(spark, sf_dir, "documents")
+    pfx = F.substring(F.translate(F.col("text"), " ", ""), 1, 12)
+    keyed = docs.select(F.col("doc_id").alias("rec_id"),
+                        pfx.alias("snm_key"))
+    pairs = sorted_neighborhood_pairs(keyed, key_col="snm_key",
+                                      id_col="rec_id",
+                                      window=_SNM_WINDOW)
+    attrs = docs.select(
+        "doc_id", "lang", "source",
+        F.expr(f"n_chars div {_FS_BAND}").alias("band"),
+        pfx.alias("pfx"))
+    a = attrs.select(*[F.col(c).alias(c + "_a") for c in attrs.columns])
+    b = attrs.select(*[F.col(c).alias(c + "_b") for c in attrs.columns])
+    j = (pairs.join(a, pairs["id_a"] == a["doc_id_a"])
+         .join(b, pairs["id_b"] == b["doc_id_b"]))
+    flags = [F.col("lang_a").eqNullSafe(F.col("lang_b")),
+             F.col("source_a").eqNullSafe(F.col("source_b")),
+             F.col("band_a") == F.col("band_b"),
+             F.col("pfx_a") == F.col("pfx_b")]
+    return j.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        *[fl.alias(f"f{i}") for i, fl in enumerate(flags)],
+        agreement_bits(flags).alias("pattern"))
+
+
+def fs_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage over the SNM candidates:
+    agreement patterns -> unsupervised EM (driver-side, over the
+    <=2^4-row pattern histogram — the ONLY full pass over the pair
+    stream is one map-side-combined groupBy) -> per-pair match
+    posterior with the learned (lambda, m_i, u_i) inlined as literals
+    (no join on the pair stream).  Params ride a side table; the
+    oracle re-derives pairs, flags, pattern packing, and the
+    left-to-right posterior product from those shared doubles.
+    is_match thresholds the UNROUNDED posterior at 0.5."""
+    from .operators.linkage import fs_posterior_expr, fs_train
+    pf = _fs_pairs_flags(spark, sf_dir)
+    _ensure_side_table(sf_dir, _FS_PARAMS_PATH,
+                       lambda: fs_train(pf, _FS_N_FIELDS))
+    prm = sorted(spark.read.parquet(_FS_PARAMS_PATH).collect(),
+                 key=lambda r: r["field_id"])
+    lam = prm[0]["lam"]
+    m = [r["m"] for r in prm]
+    u = [r["u"] for r in prm]
+    post = fs_posterior_expr(
+        [F.col(f"f{i}") for i in range(_FS_N_FIELDS)], lam, m, u)
+    return pf.select(
+        "id_a", "id_b", "pattern",
+        F.round(post, 6).alias("posterior_r"),
+        (post >= 0.5).cast("bigint").alias("is_match"))
+
+
+# FS oracle: pairs + flags re-derived exactly as _SQL_SNM_PAIRS (same
+# key, same window, same attribute arithmetic); lambda/m/u come from
+# the shared side table via scalar subqueries, and both probability
+# products are parenthesized LEFT-TO-RIGHT in field order — the same
+# IEEE evaluation order the Spark literals use, so the doubles match
+# bit-for-bit before rounding.
+def _sql_fs_match() -> str:
+    pm = f"(SELECT lam FROM fsp WHERE field_id = 0)"
+    pu = f"(1 - (SELECT lam FROM fsp WHERE field_id = 0))"
+    for i in range(_FS_N_FIELDS):
+        sel_m = f"(SELECT m FROM fsp WHERE field_id = {i})"
+        sel_u = f"(SELECT u FROM fsp WHERE field_id = {i})"
+        pm = (f"({pm} * CASE WHEN f{i} THEN {sel_m} "
+              f"ELSE 1 - {sel_m} END)")
+        pu = (f"({pu} * CASE WHEN f{i} THEN {sel_u} "
+              f"ELSE 1 - {sel_u} END)")
+    return f"""
+    WITH fsp AS (SELECT field_id, m, u, lam
+                 FROM read_parquet('{_FS_PARAMS_PATH}/*.parquet')),
+    keyed AS (
+        SELECT doc_id, lang, source, n_chars,
+               substr(replace(text, ' ', ''), 1, 12) AS pfx
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, row_number() OVER (ORDER BY pfx, doc_id) AS rnk
+        FROM keyed
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ranked a JOIN ranked b
+          ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
+    ), flagged AS (
+        SELECT p.id_a, p.id_b,
+               (da.lang IS NOT DISTINCT FROM db.lang) AS f0,
+               (da.source IS NOT DISTINCT FROM db.source) AS f1,
+               (da.n_chars // {_FS_BAND} = db.n_chars // {_FS_BAND})
+                   AS f2,
+               (da.pfx = db.pfx) AS f3
+        FROM pairs p
+        JOIN keyed da ON p.id_a = da.doc_id
+        JOIN keyed db ON p.id_b = db.doc_id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CAST((CASE WHEN f0 THEN 1 ELSE 0 END)
+              + (CASE WHEN f1 THEN 2 ELSE 0 END)
+              + (CASE WHEN f2 THEN 4 ELSE 0 END)
+              + (CASE WHEN f3 THEN 8 ELSE 0 END) AS BIGINT) AS pattern,
+           round({pm} / ({pm} + {pu}), 6) AS posterior_r,
+           CAST({pm} / ({pm} + {pu}) >= 0.5 AS BIGINT) AS is_match
+    FROM flagged
+"""
+
+
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: tokens = spaces + 1 (documents are space-joined
     word sequences) — pure arithmetic, identical in SQL."""
@@ -2284,6 +2403,10 @@ _SQL_ANN_IVF = f"""
 
 _PQ_BOOKS_PATH = os.path.join(_REPO_ROOT, "data",
                               "pq_codebooks_current.parquet")
+# PQ geometry, coupled between the Spark call and the SQL oracle's
+# list_slice width: m subspaces of dsub dims each over the fixture's
+# d=64 embeddings, k codewords per subspace.
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 16, 16
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2312,7 +2435,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (spark.read.parquet(_IVF_CENTROIDS_PATH)
              .select("cent_id", "c"))
     _ensure_side_table(sf_dir, _PQ_BOOKS_PATH,
-                       lambda: pq_codebooks(base, m=4, k=16, iters=3))
+                       lambda: pq_codebooks(base, m=_PQ_M, k=_PQ_K,
+                                            iters=3))
     books = _books_by_sub(spark.read.parquet(_PQ_BOOKS_PATH).collect())
 
     neighbors = (assign_cells(base.where(F.col("vec_id") >= 10), cents)
@@ -2369,8 +2493,9 @@ _SQL_ANN_IVFPQ = f"""
     subdist AS (
         SELECT b.vec_id, k.sub_id, k.cent_id,
                list_sum(list_transform(
-                   list_zip(list_slice(b.v, k.sub_id * 16 + 1,
-                                       k.sub_id * 16 + 16), k.c),
+                   list_zip(list_slice(b.v, k.sub_id * {_PQ_DSUB} + 1,
+                                       k.sub_id * {_PQ_DSUB} + {_PQ_DSUB}),
+                            k.c),
                    x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
         FROM base b, books k),
     codes AS (
@@ -2777,6 +2902,7 @@ def build_queries():
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "fs_match_documents": fs_match_documents,
         "media_decode_meta": media_decode_meta,
         "media_frame_sample": media_frame_sample,
         "media_resize_plan": media_resize_plan,
@@ -2800,6 +2926,7 @@ def build_oracle_sql():
         "nw_distance_documents_k": _SQL_NW_DOCUMENTS_K,
         "doc_exact_dedup": _SQL_DOC_DEDUP,
         "snm_pairs_documents": _SQL_SNM_PAIRS,
+        "fs_match_documents": _sql_fs_match(),
         "doc_token_stats": _SQL_DOC_TOKENS,
         "doc_bpe_tokens": _SQL_BPE_TOKENS,
         "doc_quality": _SQL_DOC_QUALITY,

@@ -150,10 +150,10 @@ def pq_codebooks(vecs: DataFrame, m: int = 4, k: int = 16,
     caveat as kmeans_centroids: ride a side table for anything
     oracle-graded."""
     spark = vecs.sparkSession
-    d = len(vecs.select("v").first()["v"])
+    init = vecs.orderBy("vec_id").limit(k).select("v").collect()
+    d = len(init[0]["v"])
     assert d % m == 0, (d, m)
     dsub = d // m
-    init = vecs.orderBy("vec_id").limit(k).select("v").collect()
     books = {j: [(i, list(r["v"])[j * dsub:(j + 1) * dsub])
                  for i, r in enumerate(init)]
              for j in range(m)}

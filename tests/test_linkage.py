@@ -1,0 +1,158 @@
+"""Fellegi-Sunter probabilistic linkage: EM parameter recovery on a
+known mixture, bit-packing/posterior parity with an independent Python
+computation, and end-to-end discrimination on planted duplicates."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from edlib_spark.operators.linkage import (agreement_bits, fs_em,
+                                           fs_posterior_expr, fs_train,
+                                           pattern_counts)
+
+
+def _posterior_py(pat, lam, m, u):
+    """Independent posterior: same left-to-right field-order product."""
+    pm, pu = lam, 1.0 - lam
+    for i in range(len(m)):
+        bit = (pat >> i) & 1
+        pm *= m[i] if bit else 1.0 - m[i]
+        pu *= u[i] if bit else 1.0 - u[i]
+    return pm / (pm + pu)
+
+
+def _mixture_histogram(lam, m, u, n_pairs, seed=11):
+    """Exact-expectation histogram of the FS mixture (no sampling
+    noise, so EM has a clean target)."""
+    f = len(m)
+    counts = []
+    for pat in range(1 << f):
+        pm, pu = lam, 1.0 - lam
+        for i in range(f):
+            bit = (pat >> i) & 1
+            pm *= m[i] if bit else 1.0 - m[i]
+            pu *= u[i] if bit else 1.0 - u[i]
+        n = round(n_pairs * (pm + pu))
+        if n:
+            counts.append((pat, n))
+    return counts
+
+
+def test_fs_em_recovers_planted_mixture():
+    """EM on the exact-expectation histogram of a known mixture must
+    recover the planted structure: every discriminative field ends up
+    with m > u, the match class is the rare one, and high-agreement
+    patterns get posterior > 0.9 while zero-agreement gets < 0.1."""
+    true_lam, true_m, true_u = 0.05, [0.95, 0.9, 0.85, 0.97], \
+        [0.3, 0.1, 0.2, 0.05]
+    counts = _mixture_histogram(true_lam, true_m, true_u, 100_000)
+    lam, m, u = fs_em(counts, 4, iters=60)
+    assert 0.01 < lam < 0.15, lam
+    for i in range(4):
+        assert m[i] > u[i], (i, m[i], u[i])
+    assert _posterior_py(0b1111, lam, m, u) > 0.9
+    assert _posterior_py(0b0000, lam, m, u) < 0.1
+
+
+def test_fs_em_deterministic_and_clamped():
+    """Same histogram -> identical floats; a field that always agrees
+    is clamped away from exactly 1."""
+    counts = [(0b11, 50), (0b10, 20), (0b00, 9930)]
+    a = fs_em(counts, 2, iters=20)
+    b = fs_em(counts, 2, iters=20)
+    assert a == b
+    lam, m, u = a
+    for x in (lam, *m, *u):
+        assert 0.0 < x < 1.0
+
+
+def test_agreement_bits_and_posterior_match_python(spark):
+    """The Spark pattern packing and literal-inlined posterior must
+    equal the independent Python computation on every one of the 16
+    patterns (bit-exact before rounding — same IEEE product order)."""
+    lam, m, u = 0.07, [0.9, 0.8, 0.7, 0.95], [0.4, 0.2, 0.1, 0.02]
+    rows = [(pat, bool(pat & 1), bool(pat & 2), bool(pat & 4),
+             bool(pat & 8)) for pat in range(16)]
+    df = spark.createDataFrame(
+        rows, "pat bigint, f0 boolean, f1 boolean, f2 boolean, "
+              "f3 boolean")
+    flags = [F.col(f"f{i}") for i in range(4)]
+    got = {r["pat"]: (r["packed"], r["post"]) for r in
+           df.select("pat",
+                     agreement_bits(flags).alias("packed"),
+                     fs_posterior_expr(flags, lam, m, u).alias("post"))
+           .collect()}
+    for pat in range(16):
+        packed, post = got[pat]
+        assert packed == pat
+        assert post == _posterior_py(pat, lam, m, u), pat
+
+
+def test_fs_train_end_to_end_discriminates(spark):
+    """Planted two-class pair population -> fs_train learns params
+    that separate it: full-agreement pairs score > 0.9, full-
+    disagreement < 0.1, and the pattern histogram collected by
+    pattern_counts matches the input construction."""
+    rng = np.random.default_rng(3)
+    rows = []
+    # 200 "match" pairs: agree on everything, occasionally drop f1
+    for i in range(200):
+        f1 = bool(rng.random() < 0.9)
+        rows.append((True, f1, True, True))
+    # 4800 "non-match" pairs: mostly disagree, f0 agrees by chance
+    for i in range(4800):
+        f0 = bool(rng.random() < 0.3)
+        f2 = bool(rng.random() < 0.15)
+        rows.append((f0, False, f2, False))
+    df = spark.createDataFrame(
+        rows, "f0 boolean, f1 boolean, f2 boolean, f3 boolean")
+    flags = [F.col(f"f{i}") for i in range(4)]
+    pairs = df.select("*", agreement_bits(flags).alias("pattern"))
+
+    counts = pattern_counts(pairs)
+    assert sum(n for _, n in counts) == 5000
+    assert all(0 <= p < 16 for p, _ in counts)
+
+    prm = {int(r["field_id"]): r for r in
+           fs_train(pairs, 4, iters=40).collect()}
+    lam = prm[0]["lam"]
+    m = [prm[i]["m"] for i in range(4)]
+    u = [prm[i]["u"] for i in range(4)]
+    assert abs(lam - 0.04) < 0.02, lam  # 200 / 5000
+    # f3 is the perfect discriminator; f0 is weak on purpose
+    assert m[3] > 0.99 and u[3] < 0.01
+    assert _posterior_py(0b1111, lam, m, u) > 0.9
+    assert _posterior_py(0b0000, lam, m, u) < 0.1
+
+
+def test_fs_contract_query_quality(spark):
+    """The graded fs_match_documents on the sf0.001 fixture,
+    against an FS-feature-independent ground truth (5-gram Jaccard):
+    near-dup candidates (jac >= 0.5) classify as matches at >= 0.8
+    recall, dissimilar candidates (jac < 0.2) at ZERO false-positive
+    rate, and matches are a small minority overall (the EM found a
+    rare class, not a degenerate all-match solution)."""
+    from edlib_spark.driver_contract import _read, fs_match_documents
+    sf = "/root/testdata/sf0.001"
+    out = fs_match_documents(spark, sf).collect()
+    n = len(out)
+    matched = {(r["id_a"], r["id_b"]) for r in out if r["is_match"]}
+    assert 0 < len(matched) < 0.05 * n, (len(matched), n)
+
+    docs = {r["doc_id"]: r["text"]
+            for r in _read(spark, sf, "documents").collect()}
+
+    def jac(a, b, k=5):
+        ga = {a[i:i + k] for i in range(max(len(a) - k + 1, 1))}
+        gb = {b[i:i + k] for i in range(max(len(b) - k + 1, 1))}
+        return len(ga & gb) / len(ga | gb)
+
+    sims = [(jac(docs[r["id_a"]], docs[r["id_b"]]),
+             (r["id_a"], r["id_b"]) in matched) for r in out]
+    hi = [s for s in sims if s[0] >= 0.5]
+    lo = [s for s in sims if s[0] < 0.2]
+    assert len(hi) > 10 and len(lo) > 100, (len(hi), len(lo))
+    assert sum(1 for _, hit in hi if hit) >= 0.8 * len(hi)
+    assert not any(hit for _, hit in lo)

@@ -149,32 +149,86 @@ def planted_sweep(vecs, target_cos, seed=7):
     return rows
 
 
-def ivf_nprobe_sweep(vecs, k_cents=8, iters=4):
-    """Recall@K vs nprobe for the TRAINED IVF quantizer in the uniform
-    (mid-similarity) regime — numpy mirror of
-    operators.ann.kmeans_centroids (same k-lowest-id init, same Lloyd
-    step count, cosine assignment with lowest-cent tie-break), queried
-    like ann_ivf_topk: index vectors live in their 1 nearest cell,
-    queries probe their nprobe nearest cells, exact rerank inside."""
-    def unit(x):
-        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True),
-                              1e-300)
+def _unit(x):
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True),
+                          1e-300)
 
+
+def _train_coarse(vecs, k_cents, iters):
+    """The ONE numpy mirror of operators.ann.kmeans_centroids:
+    k-lowest-id init, cosine assignment with lowest-cent tie-break
+    (argmax returns the first maximum), mean update, empty cells keep
+    their centroid.  Both sweeps share it so their coarse stages can't
+    drift apart."""
     cents = vecs[:k_cents].astype(np.float64).copy()
     for _ in range(iters):
-        assign = np.argmax(unit(vecs) @ unit(cents).T, axis=1)
+        assign = np.argmax(_unit(vecs) @ _unit(cents).T, axis=1)
         for c in range(k_cents):
             members = vecs[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
+    return cents
 
-    norm = unit(vecs)
+
+def _train_pq_books(vecs, m, kc, iters):
+    """The ONE numpy mirror of operators.ann.pq_codebooks: k-lowest-id
+    init slices, argmin-L2 assignment (first minimum = the low-cent_id
+    tie-break), mean update, empty cells keep their codeword."""
+    dsub = vecs.shape[1] // m
+    books = [vecs[:kc, j * dsub:(j + 1) * dsub].astype(np.float64).copy()
+             for j in range(m)]
+    for _ in range(iters):
+        for j in range(m):
+            sub = vecs[:, j * dsub:(j + 1) * dsub]
+            dist = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            code = dist.argmin(axis=1)
+            for c in range(kc):
+                members = sub[code == c]
+                if len(members):
+                    books[j][c] = members.mean(axis=0)
+    return books
+
+
+def _pq_codes(x, books):
+    """(n, m) per-subspace nearest-codeword ids (low-id tie-break)."""
+    dsub = books[0].shape[1]
+    out = np.empty((len(x), len(books)), dtype=np.int64)
+    for j in range(len(books)):
+        dist = ((x[:, None, j * dsub:(j + 1) * dsub]
+                 - books[j][None, :, :]) ** 2).sum(-1)
+        out[:, j] = dist.argmin(axis=1)
+    return out
+
+
+def _pq_luts(q, books):
+    """(nq, m, kc) squared-L2 from each query slice to every codeword."""
+    dsub = books[0].shape[1]
+    return np.stack([((q[:, None, j * dsub:(j + 1) * dsub]
+                       - books[j][None, :, :]) ** 2).sum(-1)
+                     for j in range(len(books))], axis=1)
+
+
+def _pq_adc(luts, codes):
+    """(nq, n) asymmetric distances: sum over subspaces of the LUT
+    entry at each neighbor's code."""
+    return np.stack([luts[:, j, :][:, codes[:, j]]
+                     for j in range(codes.shape[1])]).sum(0)
+
+
+def ivf_nprobe_sweep(vecs, k_cents=8, iters=4):
+    """Recall@K vs nprobe for the TRAINED IVF quantizer in the uniform
+    (mid-similarity) regime — coarse stage from _train_coarse, queried
+    like ann_ivf_topk: index vectors live in their 1 nearest cell,
+    queries probe their nprobe nearest cells, exact rerank inside."""
+    cents = _train_coarse(vecs, k_cents, iters)
+
+    norm = _unit(vecs)
     q, nb = norm[:N_QUERY], norm[N_QUERY:]
     sims = q @ nb.T
     truth = np.argsort(-sims, axis=1, kind="stable")[:, :K]
-    csims_q = q @ unit(cents).T
+    csims_q = q @ _unit(cents).T
     cell_rank_q = np.argsort(-csims_q, axis=1, kind="stable")
-    cell_nb = np.argmax(nb @ unit(cents).T, axis=1)
+    cell_nb = np.argmax(nb @ _unit(cents).T, axis=1)
     rows = []
     for nprobe in (1, 2, 4, 8):
         hits = 0
@@ -202,56 +256,17 @@ def pq_sweep(vecs, k_cents=8, iters=4, m=4, kc=16, pq_iters=3):
     truncation ceiling) and `adc` = PQ table-lookup distance inside the
     same cells — the gap between the columns is the quantization loss,
     the gap from 1.0 is the coarse truncation."""
-    def unit(x):
-        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True),
-                              1e-300)
-
-    d = vecs.shape[1]
-    dsub = d // m
-    cents = vecs[:k_cents].astype(np.float64).copy()
-    for _ in range(iters):
-        assign = np.argmax(unit(vecs) @ unit(cents).T, axis=1)
-        for c in range(k_cents):
-            members = vecs[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
-
-    books = [vecs[:kc, j * dsub:(j + 1) * dsub].astype(np.float64).copy()
-             for j in range(m)]
-    for _ in range(pq_iters):
-        for j in range(m):
-            sub = vecs[:, j * dsub:(j + 1) * dsub]
-            dist = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
-            # argmin returns the FIRST minimum = the low-cent_id
-            # tie-break the operator uses
-            code = dist.argmin(axis=1)
-            for c in range(kc):
-                members = sub[code == c]
-                if len(members):
-                    books[j][c] = members.mean(axis=0)
+    cents = _train_coarse(vecs, k_cents, iters)
+    books = _train_pq_books(vecs, m, kc, pq_iters)
 
     q, nb = vecs[:N_QUERY], vecs[N_QUERY:]
     l2 = ((q[:, None, :] - nb[None, :, :]) ** 2).sum(-1)
     truth = np.argsort(l2, axis=1, kind="stable")[:, :K]
+    adc = _pq_adc(_pq_luts(q, books), _pq_codes(nb, books))
 
-    def codes_of(x):
-        out = np.empty((len(x), m), dtype=np.int64)
-        for j in range(m):
-            dist = ((x[:, None, j * dsub:(j + 1) * dsub]
-                     - books[j][None, :, :]) ** 2).sum(-1)
-            out[:, j] = dist.argmin(axis=1)
-        return out
-
-    nb_codes = codes_of(nb)
-    luts = np.stack([((q[:, None, j * dsub:(j + 1) * dsub]
-                       - books[j][None, :, :]) ** 2).sum(-1)
-                     for j in range(m)], axis=1)  # (nq, m, kc)
-    adc = np.stack([luts[:, j, :][:, nb_codes[:, j]]
-                    for j in range(m)]).sum(0)  # (nq, n_nb)
-
-    csims_q = unit(q) @ unit(cents).T
+    csims_q = _unit(q) @ _unit(cents).T
     cell_rank_q = np.argsort(-csims_q, axis=1, kind="stable")
-    cell_nb = np.argmax(unit(nb) @ unit(cents).T, axis=1)
+    cell_nb = np.argmax(_unit(nb) @ _unit(cents).T, axis=1)
     rows = []
     for nprobe in (1, 2, 4, 8):
         hits_ivf = hits_adc = cand_total = 0
@@ -280,40 +295,17 @@ def pq_planted(vecs, target_cos, m=4, kc=16, pq_iters=3, seed=7,
     return {s: recall@s of the source} for each shortlist size — s=1
     is ADC-as-final-answer, larger s is the shortlist-then-exact-
     re-rank recipe."""
-    d = vecs.shape[1]
-    dsub = d // m
-    norm = vecs / np.maximum(
-        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+    norm = _unit(vecs)
     rng = np.random.default_rng(seed)
     src = rng.integers(0, len(norm), N_QUERY)
-    noise = rng.standard_normal((N_QUERY, d))
+    noise = rng.standard_normal((N_QUERY, vecs.shape[1]))
     noise -= (noise * norm[src]).sum(1, keepdims=True) * norm[src]
     noise /= np.maximum(np.linalg.norm(noise, axis=1, keepdims=True),
                         1e-300)
     q = target_cos * norm[src] + np.sqrt(1 - target_cos ** 2) * noise
 
-    books = [vecs[:kc, j * dsub:(j + 1) * dsub].astype(np.float64).copy()
-             for j in range(m)]
-    for _ in range(pq_iters):
-        for j in range(m):
-            sub = vecs[:, j * dsub:(j + 1) * dsub]
-            dist = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
-            code = dist.argmin(axis=1)
-            for c in range(kc):
-                members = sub[code == c]
-                if len(members):
-                    books[j][c] = members.mean(axis=0)
-
-    codes = np.empty((len(vecs), m), dtype=np.int64)
-    luts = np.empty((N_QUERY, m, kc))
-    for j in range(m):
-        nd = ((vecs[:, None, j * dsub:(j + 1) * dsub]
-               - books[j][None, :, :]) ** 2).sum(-1)
-        codes[:, j] = nd.argmin(axis=1)
-        luts[:, j, :] = ((q[:, None, j * dsub:(j + 1) * dsub]
-                          - books[j][None, :, :]) ** 2).sum(-1)
-    adc = np.stack([luts[:, j, :][:, codes[:, j]]
-                    for j in range(m)]).sum(0)  # (nq, n)
+    books = _train_pq_books(vecs, m, kc, pq_iters)
+    adc = _pq_adc(_pq_luts(q, books), _pq_codes(vecs, books))
     order = adc.argsort(axis=1, kind="stable")
     return {s: float(np.mean([src[i] in set(order[i, :s].tolist())
                               for i in range(N_QUERY)]))
