@@ -476,7 +476,10 @@ def _fs_pairs_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
         *[fl.alias(f"f{i}") for i, fl in enumerate(flags)],
-        agreement_bits(flags).alias("pattern"))
+        agreement_bits(flags).alias("pattern"),
+        # carried for the term-frequency variant (value of the shared
+        # category when the field agrees; side a is arbitrary-but-fixed)
+        "lang_a", "source_a")
 
 
 def fs_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,6 +507,111 @@ def fs_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", "pattern",
         F.round(post, 6).alias("posterior_r"),
         (post >= 0.5).cast("bigint").alias("is_match"))
+
+
+def fs_tf_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency-adjusted Fellegi-Sunter (Winkler 1988; the
+    adjustment Splink applies post-EM): same EM params as
+    fs_match_documents, but when a categorical field AGREES its u-side
+    factor becomes the shared value's corpus frequency — agreeing on a
+    value carried by 1% of records is ~u/tf times stronger evidence
+    than the EM average.  Applied to the two categorical fields (lang,
+    source) via BROADCAST frequency tables (#distinct-values rows);
+    a high-cardinality field would use the identical pattern with a
+    shuffle equi-join on the value, the same shape as the attribute
+    attach.  Band/prefix keep global u.  The oracle recomputes the
+    frequencies from the corpus (bigint/bigint -> double on both
+    engines) and the same ordered product."""
+    from .operators.linkage import fs_posterior_expr, fs_train
+    pf = _fs_pairs_flags(spark, sf_dir)
+    _ensure_side_table(sf_dir, _FS_PARAMS_PATH,
+                       lambda: fs_train(pf, _FS_N_FIELDS))
+    prm = sorted(spark.read.parquet(_FS_PARAMS_PATH).collect(),
+                 key=lambda r: r["field_id"])
+    lam = prm[0]["lam"]
+    m = [r["m"] for r in prm]
+    u = [r["u"] for r in prm]
+
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    lf = (docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+          .select(F.col("lang").alias("_lf_lang"),
+                  (F.col("c") / F.lit(n)).alias("tf_lang")))
+    sfq = (docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+           .select(F.col("source").alias("_sf_source"),
+                   (F.col("c") / F.lit(n)).alias("tf_source")))
+    joined = (pf.join(F.broadcast(lf),
+                      F.col("lang_a").eqNullSafe(F.col("_lf_lang")))
+              .join(F.broadcast(sfq),
+                    F.col("source_a").eqNullSafe(F.col("_sf_source"))))
+    post = fs_posterior_expr(
+        [F.col(f"f{i}") for i in range(_FS_N_FIELDS)], lam, m, u,
+        tf=[F.col("tf_lang"), F.col("tf_source"), None, None])
+    return joined.select(
+        "id_a", "id_b", "pattern",
+        F.round(post, 6).alias("posterior_tf_r"),
+        (post >= 0.5).cast("bigint").alias("is_match"))
+
+
+def _sql_fs_tf_match() -> str:
+    """TF-adjusted FS oracle: frequencies recomputed from the corpus,
+    joined on the shared value, u-side factors swapped on agreement —
+    the same left-to-right product order as the Spark literals."""
+    pm = f"(SELECT lam FROM fsp WHERE field_id = 0)"
+    pu = f"(1 - (SELECT lam FROM fsp WHERE field_id = 0))"
+    agree_u = ["lf.tf", "sfq.tf",
+               "(SELECT u FROM fsp WHERE field_id = 2)",
+               "(SELECT u FROM fsp WHERE field_id = 3)"]
+    for i in range(_FS_N_FIELDS):
+        sel_m = f"(SELECT m FROM fsp WHERE field_id = {i})"
+        sel_u = f"(SELECT u FROM fsp WHERE field_id = {i})"
+        pm = (f"({pm} * CASE WHEN f{i} THEN {sel_m} "
+              f"ELSE 1 - {sel_m} END)")
+        pu = (f"({pu} * CASE WHEN f{i} THEN {agree_u[i]} "
+              f"ELSE 1 - {sel_u} END)")
+    return f"""
+    WITH fsp AS (SELECT field_id, m, u, lam
+                 FROM read_parquet('{_FS_PARAMS_PATH}/*.parquet')),
+    keyed AS (
+        SELECT doc_id, lang, source, n_chars,
+               substr(replace(text, ' ', ''), 1, 12) AS pfx
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, row_number() OVER (ORDER BY pfx, doc_id) AS rnk
+        FROM keyed
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ranked a JOIN ranked b
+          ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
+    ), tot AS (SELECT count(*) AS n FROM documents),
+    lfreq AS (SELECT lang, count(*) / (SELECT n FROM tot) AS tf
+              FROM documents GROUP BY lang),
+    sfreq AS (SELECT source, count(*) / (SELECT n FROM tot) AS tf
+              FROM documents GROUP BY source),
+    flagged AS (
+        SELECT p.id_a, p.id_b,
+               (da.lang IS NOT DISTINCT FROM db.lang) AS f0,
+               (da.source IS NOT DISTINCT FROM db.source) AS f1,
+               (da.n_chars // {_FS_BAND} = db.n_chars // {_FS_BAND})
+                   AS f2,
+               (da.pfx = db.pfx) AS f3,
+               da.lang AS lang_a, da.source AS source_a
+        FROM pairs p
+        JOIN keyed da ON p.id_a = da.doc_id
+        JOIN keyed db ON p.id_b = db.doc_id
+    )
+    SELECT CAST(fl.id_a AS BIGINT) AS id_a,
+           CAST(fl.id_b AS BIGINT) AS id_b,
+           CAST((CASE WHEN f0 THEN 1 ELSE 0 END)
+              + (CASE WHEN f1 THEN 2 ELSE 0 END)
+              + (CASE WHEN f2 THEN 4 ELSE 0 END)
+              + (CASE WHEN f3 THEN 8 ELSE 0 END) AS BIGINT) AS pattern,
+           round({pm} / ({pm} + {pu}), 6) AS posterior_tf_r,
+           CAST({pm} / ({pm} + {pu}) >= 0.5 AS BIGINT) AS is_match
+    FROM flagged fl
+    JOIN lfreq lf ON lf.lang IS NOT DISTINCT FROM fl.lang_a
+    JOIN sfreq sfq ON sfq.source IS NOT DISTINCT FROM fl.source_a
+"""
 
 
 # FS oracle: pairs + flags re-derived exactly as _SQL_SNM_PAIRS (same
@@ -2903,6 +3011,7 @@ def build_queries():
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "fs_match_documents": fs_match_documents,
+        "fs_tf_match_documents": fs_tf_match_documents,
         "media_decode_meta": media_decode_meta,
         "media_frame_sample": media_frame_sample,
         "media_resize_plan": media_resize_plan,
@@ -2927,6 +3036,7 @@ def build_oracle_sql():
         "doc_exact_dedup": _SQL_DOC_DEDUP,
         "snm_pairs_documents": _SQL_SNM_PAIRS,
         "fs_match_documents": _sql_fs_match(),
+        "fs_tf_match_documents": _sql_fs_tf_match(),
         "doc_token_stats": _SQL_DOC_TOKENS,
         "doc_bpe_tokens": _SQL_BPE_TOKENS,
         "doc_quality": _SQL_DOC_QUALITY,

@@ -111,16 +111,27 @@ def fs_train(pairs: DataFrame, n_fields: int, iters: int = 20,
 
 
 def fs_posterior_expr(flags: list[Column], lam: float,
-                      m: list[float], u: list[float]) -> Column:
+                      m: list[float], u: list[float],
+                      tf: list[Column | None] | None = None) -> Column:
     """P(match | agreement pattern) with the learned params inlined as
     literals: lam * prod(m_i or 1-m_i) vs (1-lam) * prod(u_i or 1-u_i),
     multiplied LEFT-TO-RIGHT in field order (the order a SQL oracle
-    must replicate for bit-exact doubles)."""
+    must replicate for bit-exact doubles).
+
+    ``tf``: optional per-field term-frequency Columns (None = keep the
+    global u).  When field i AGREES and tf[i] is given, the u-side
+    factor is the shared value's corpus frequency instead of the
+    EM-averaged u_i — agreement on a rare value is much stronger
+    evidence than on a dominant one (the adjustment term-frequency-
+    aware linkage engines apply after EM; Winkler 1988's value-specific
+    u).  Disagreement keeps the global 1-u_i either way."""
     pm: Column = F.lit(float(lam))
     pu: Column = F.lit(1.0 - float(lam))
     for i, c in enumerate(flags):
         pm = pm * F.when(c, F.lit(float(m[i]))) \
                    .otherwise(F.lit(1.0 - float(m[i])))
-        pu = pu * F.when(c, F.lit(float(u[i]))) \
+        agree_u = (F.lit(float(u[i])) if tf is None or tf[i] is None
+                   else tf[i])
+        pu = pu * F.when(c, agree_u) \
                    .otherwise(F.lit(1.0 - float(u[i])))
     return pm / (pm + pu)

@@ -127,6 +127,31 @@ def test_fs_train_end_to_end_discriminates(spark):
     assert _posterior_py(0b0000, lam, m, u) < 0.1
 
 
+def test_fs_tf_posterior_rare_value_is_stronger_evidence(spark):
+    """Term-frequency adjustment: with identical agreement patterns,
+    agreeing on a RARE categorical value must yield a strictly higher
+    posterior than agreeing on a dominant one, and the tf=None fields
+    must leave the expression identical to the global-u posterior."""
+    lam, m, u = 0.05, [0.9, 0.8, 0.7, 0.95], [0.4, 0.2, 0.1, 0.02]
+    rows = [(1, True, 0.01), (2, True, 0.90), (3, False, 0.50)]
+    df = spark.createDataFrame(rows, "rid bigint, f0 boolean, tf double")
+    flags = [F.col("f0"), F.lit(True), F.lit(False), F.lit(True)]
+    post_tf = fs_posterior_expr(flags, lam, m, u,
+                                tf=[F.col("tf"), None, None, None])
+    post_plain = fs_posterior_expr(flags, lam, m, u)
+    got = {r["rid"]: (r["ptf"], r["pp"]) for r in
+           df.select("rid", post_tf.alias("ptf"),
+                     post_plain.alias("pp")).collect()}
+    # rare-value agreement beats common-value agreement beats nothing
+    assert got[1][0] > got[2][0]
+    # disagreement ignores tf entirely: identical to the plain expr
+    assert got[3][0] == got[3][1]
+    # independent python check of the rare case (tf replaces u0)
+    pm = lam * m[0] * m[1] * (1 - m[2]) * m[3]
+    pu = (1 - lam) * 0.01 * u[1] * (1 - u[2]) * u[3]
+    assert got[1][0] == pm / (pm + pu)
+
+
 def test_fs_contract_query_quality(spark):
     """The graded fs_match_documents on the sf0.001 fixture,
     against an FS-feature-independent ground truth (5-gram Jaccard):
