@@ -553,22 +553,40 @@ def fs_tf_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (post >= 0.5).cast("bigint").alias("is_match"))
 
 
-def _sql_fs_tf_match() -> str:
-    """TF-adjusted FS oracle: frequencies recomputed from the corpus,
-    joined on the shared value, u-side factors swapped on agreement —
-    the same left-to-right product order as the Spark literals."""
-    pm = f"(SELECT lam FROM fsp WHERE field_id = 0)"
-    pu = f"(1 - (SELECT lam FROM fsp WHERE field_id = 0))"
-    agree_u = ["lf.tf", "sfq.tf",
-               "(SELECT u FROM fsp WHERE field_id = 2)",
-               "(SELECT u FROM fsp WHERE field_id = 3)"]
+# FS oracles: pairs + flags re-derived exactly as _SQL_SNM_PAIRS (same
+# key, same window, same attribute arithmetic); lambda/m/u come from
+# the shared side table via scalar subqueries, and both probability
+# products are parenthesized LEFT-TO-RIGHT in field order — the same
+# IEEE evaluation order the Spark literals use, so the doubles match
+# bit-for-bit before rounding.  ONE builder generates both the plain
+# and the TF-adjusted variant so the SNM derivation, flag expressions,
+# and product order cannot drift between them; the TF variant swaps
+# the u-side factor on the two categorical fields for the shared
+# value's recomputed corpus frequency and joins the frequency CTEs.
+def _sql_fs(tf: bool) -> str:
+    pm = "(SELECT lam FROM fsp WHERE field_id = 0)"
+    pu = "(1 - (SELECT lam FROM fsp WHERE field_id = 0))"
     for i in range(_FS_N_FIELDS):
         sel_m = f"(SELECT m FROM fsp WHERE field_id = {i})"
         sel_u = f"(SELECT u FROM fsp WHERE field_id = {i})"
+        agree_u = {0: "lf.tf", 1: "sfq.tf"}.get(i, sel_u) if tf \
+            else sel_u
         pm = (f"({pm} * CASE WHEN f{i} THEN {sel_m} "
               f"ELSE 1 - {sel_m} END)")
-        pu = (f"({pu} * CASE WHEN f{i} THEN {agree_u[i]} "
+        pu = (f"({pu} * CASE WHEN f{i} THEN {agree_u} "
               f"ELSE 1 - {sel_u} END)")
+    freq_ctes = f""", tot AS (SELECT count(*) AS n FROM documents),
+    lfreq AS (SELECT lang, count(*) / (SELECT n FROM tot) AS tf
+              FROM documents GROUP BY lang),
+    sfreq AS (SELECT source, count(*) / (SELECT n FROM tot) AS tf
+              FROM documents GROUP BY source)""" if tf else ""
+    carry = ",\n               da.lang AS lang_a, da.source AS source_a" \
+        if tf else ""
+    src = """flagged fl
+    JOIN lfreq lf ON lf.lang IS NOT DISTINCT FROM fl.lang_a
+    JOIN sfreq sfq ON sfq.source IS NOT DISTINCT FROM fl.source_a""" \
+        if tf else "flagged fl"
+    post_col = "posterior_tf_r" if tf else "posterior_r"
     return f"""
     WITH fsp AS (SELECT field_id, m, u, lam
                  FROM read_parquet('{_FS_PARAMS_PATH}/*.parquet')),
@@ -583,19 +601,13 @@ def _sql_fs_tf_match() -> str:
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM ranked a JOIN ranked b
           ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
-    ), tot AS (SELECT count(*) AS n FROM documents),
-    lfreq AS (SELECT lang, count(*) / (SELECT n FROM tot) AS tf
-              FROM documents GROUP BY lang),
-    sfreq AS (SELECT source, count(*) / (SELECT n FROM tot) AS tf
-              FROM documents GROUP BY source),
-    flagged AS (
+    ){freq_ctes}, flagged AS (
         SELECT p.id_a, p.id_b,
                (da.lang IS NOT DISTINCT FROM db.lang) AS f0,
                (da.source IS NOT DISTINCT FROM db.source) AS f1,
                (da.n_chars // {_FS_BAND} = db.n_chars // {_FS_BAND})
                    AS f2,
-               (da.pfx = db.pfx) AS f3,
-               da.lang AS lang_a, da.source AS source_a
+               (da.pfx = db.pfx) AS f3{carry}
         FROM pairs p
         JOIN keyed da ON p.id_a = da.doc_id
         JOIN keyed db ON p.id_b = db.doc_id
@@ -606,64 +618,9 @@ def _sql_fs_tf_match() -> str:
               + (CASE WHEN f1 THEN 2 ELSE 0 END)
               + (CASE WHEN f2 THEN 4 ELSE 0 END)
               + (CASE WHEN f3 THEN 8 ELSE 0 END) AS BIGINT) AS pattern,
-           round({pm} / ({pm} + {pu}), 6) AS posterior_tf_r,
+           round({pm} / ({pm} + {pu}), 6) AS {post_col},
            CAST({pm} / ({pm} + {pu}) >= 0.5 AS BIGINT) AS is_match
-    FROM flagged fl
-    JOIN lfreq lf ON lf.lang IS NOT DISTINCT FROM fl.lang_a
-    JOIN sfreq sfq ON sfq.source IS NOT DISTINCT FROM fl.source_a
-"""
-
-
-# FS oracle: pairs + flags re-derived exactly as _SQL_SNM_PAIRS (same
-# key, same window, same attribute arithmetic); lambda/m/u come from
-# the shared side table via scalar subqueries, and both probability
-# products are parenthesized LEFT-TO-RIGHT in field order — the same
-# IEEE evaluation order the Spark literals use, so the doubles match
-# bit-for-bit before rounding.
-def _sql_fs_match() -> str:
-    pm = f"(SELECT lam FROM fsp WHERE field_id = 0)"
-    pu = f"(1 - (SELECT lam FROM fsp WHERE field_id = 0))"
-    for i in range(_FS_N_FIELDS):
-        sel_m = f"(SELECT m FROM fsp WHERE field_id = {i})"
-        sel_u = f"(SELECT u FROM fsp WHERE field_id = {i})"
-        pm = (f"({pm} * CASE WHEN f{i} THEN {sel_m} "
-              f"ELSE 1 - {sel_m} END)")
-        pu = (f"({pu} * CASE WHEN f{i} THEN {sel_u} "
-              f"ELSE 1 - {sel_u} END)")
-    return f"""
-    WITH fsp AS (SELECT field_id, m, u, lam
-                 FROM read_parquet('{_FS_PARAMS_PATH}/*.parquet')),
-    keyed AS (
-        SELECT doc_id, lang, source, n_chars,
-               substr(replace(text, ' ', ''), 1, 12) AS pfx
-        FROM documents
-    ), ranked AS (
-        SELECT doc_id, row_number() OVER (ORDER BY pfx, doc_id) AS rnk
-        FROM keyed
-    ), pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM ranked a JOIN ranked b
-          ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
-    ), flagged AS (
-        SELECT p.id_a, p.id_b,
-               (da.lang IS NOT DISTINCT FROM db.lang) AS f0,
-               (da.source IS NOT DISTINCT FROM db.source) AS f1,
-               (da.n_chars // {_FS_BAND} = db.n_chars // {_FS_BAND})
-                   AS f2,
-               (da.pfx = db.pfx) AS f3
-        FROM pairs p
-        JOIN keyed da ON p.id_a = da.doc_id
-        JOIN keyed db ON p.id_b = db.doc_id
-    )
-    SELECT CAST(id_a AS BIGINT) AS id_a,
-           CAST(id_b AS BIGINT) AS id_b,
-           CAST((CASE WHEN f0 THEN 1 ELSE 0 END)
-              + (CASE WHEN f1 THEN 2 ELSE 0 END)
-              + (CASE WHEN f2 THEN 4 ELSE 0 END)
-              + (CASE WHEN f3 THEN 8 ELSE 0 END) AS BIGINT) AS pattern,
-           round({pm} / ({pm} + {pu}), 6) AS posterior_r,
-           CAST({pm} / ({pm} + {pu}) >= 0.5 AS BIGINT) AS is_match
-    FROM flagged
+    FROM {src}
 """
 
 
@@ -2512,9 +2469,12 @@ _SQL_ANN_IVF = f"""
 _PQ_BOOKS_PATH = os.path.join(_REPO_ROOT, "data",
                               "pq_codebooks_current.parquet")
 # PQ geometry, coupled between the Spark call and the SQL oracle's
-# list_slice width: m subspaces of dsub dims each over the fixture's
-# d=64 embeddings, k codewords per subspace.
-_PQ_M, _PQ_K, _PQ_DSUB = 4, 16, 16
+# list_slice width: m subspaces over the fixture's d=64 embeddings,
+# k codewords per subspace; dsub derived so retuning m keeps the
+# oracle slices in lockstep.
+_PQ_D, _PQ_M, _PQ_K = 64, 4, 16
+assert _PQ_D % _PQ_M == 0
+_PQ_DSUB = _PQ_D // _PQ_M
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3035,8 +2995,8 @@ def build_oracle_sql():
         "nw_distance_documents_k": _SQL_NW_DOCUMENTS_K,
         "doc_exact_dedup": _SQL_DOC_DEDUP,
         "snm_pairs_documents": _SQL_SNM_PAIRS,
-        "fs_match_documents": _sql_fs_match(),
-        "fs_tf_match_documents": _sql_fs_tf_match(),
+        "fs_match_documents": _sql_fs(tf=False),
+        "fs_tf_match_documents": _sql_fs(tf=True),
         "doc_token_stats": _SQL_DOC_TOKENS,
         "doc_bpe_tokens": _SQL_BPE_TOKENS,
         "doc_quality": _SQL_DOC_QUALITY,

@@ -70,6 +70,10 @@ def fs_em(counts: list[tuple[int, int]], n_fields: int, iters: int = 20,
     posteriors.  Returns (lambda, m[f], u[f])."""
     lam, m, u = lam0, [m0] * n_fields, [u0] * n_fields
     tot = float(sum(n for _, n in counts))
+    if tot <= 0:
+        raise ValueError(
+            "fs_em needs a non-empty pattern histogram — the blocking "
+            "stage produced zero candidate pairs")
 
     def clamp(x: float) -> float:
         return min(max(x, _CLAMP), 1.0 - _CLAMP)

@@ -2,10 +2,7 @@
 known mixture, bit-packing/posterior parity with an independent Python
 computation, and end-to-end discrimination on planted duplicates."""
 
-import math
-
 import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 from edlib_spark.operators.linkage import (agreement_bits, fs_em,
@@ -23,7 +20,7 @@ def _posterior_py(pat, lam, m, u):
     return pm / (pm + pu)
 
 
-def _mixture_histogram(lam, m, u, n_pairs, seed=11):
+def _mixture_histogram(lam, m, u, n_pairs):
     """Exact-expectation histogram of the FS mixture (no sampling
     noise, so EM has a clean target)."""
     f = len(m)
