@@ -389,7 +389,7 @@ def main():
     spark.stop()
     pl_post = host_cpu_ceiling(CPUS)
     results["pipeline_ceiling_units_per_sec"] = {
-        "pre": round(la_post, 2), "post": round(pl_post, 2)}
+        "pre": round(hq_post, 2), "post": round(pl_post, 2)}
 
     # round-5 additions (sorted-neighborhood blocking, IVF-PQ ANN,
     # Fellegi-Sunter linkage +TF): own section so the historical
@@ -401,7 +401,7 @@ def main():
     spark.stop()
     la_post = host_cpu_ceiling(CPUS)
     results["linkage_ann_ceiling_units_per_sec"] = {
-        "pre": round(hq_post, 2), "post": round(la_post, 2)}
+        "pre": round(pl_post, 2), "post": round(la_post, 2)}
 
     # traceback workload: vectorized align_expr vs the pre-r5 per-row
     # loop (r4 verdict item 1), own fresh session + own stamps
@@ -410,7 +410,7 @@ def main():
     spark.stop()
     pw_post = host_cpu_ceiling(CPUS)
     results["path_workload_ceiling_units_per_sec"] = {
-        "pre": round(pl_post, 2), "post": round(pw_post, 2)}
+        "pre": round(la_post, 2), "post": round(pw_post, 2)}
 
     # pair scoring headline.  When the scaling section runs and CPUS
     # matches a scaling level, the headline IS that level's
@@ -623,7 +623,7 @@ Headline per-query seconds at sf={results['sf']}: see BENCH_r*.json.
 
 This run's cold shot (fresh session, first scoring run):
 {results.get('pair_scoring_cold_sec', '?')} s.  Cold samples swing
-widely across solo runs (12.5-40 s seen at comparable ceiling
+widely across solo runs (10.7-40 s seen at comparable ceiling
 stamps) because the number is dominated by OS-level spawn + module
 import of the 32 Python workers, not by the plan: a warm-up probe
 that only spawns the fleet (import pandas/pyarrow/numpy + the cached
