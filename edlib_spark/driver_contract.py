@@ -624,6 +624,233 @@ def _sql_fs(tf: bool) -> str:
 """
 
 
+# FS error bounds for the three-way decision rule (mu = acceptable
+# false-match rate over linked patterns, lam_err = acceptable
+# false-non-match rate over non-linked patterns — the paper's (mu,
+# lambda) operating point; the clerical band is whatever's left)
+_FS_MU = 0.01
+_FS_LAMERR = 0.05
+
+
+def fs_classify_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter THREE-WAY decision rule (link / possible /
+    non-link) over the same SNM candidates and EM params as
+    fs_match_documents: patterns ordered by likelihood ratio, link
+    while cumulative u-mass <= mu, non-link while cumulative m-mass
+    <= lam_err, clerical-review band between (operators/linkage.py
+    fs_decision_table — driver-side over the <=16-pattern table, same
+    scale shape as EM itself).  The per-pair map is inlined as a
+    pattern -> (ratio, decision) literal CASE chain: zero join or
+    shuffle added to the pair stream, fully whole-stage-codegen.  The
+    oracle re-derives the whole rule in SQL — pattern probabilities as
+    the same left-to-right products, the ratio ordering, and the two
+    windowed running error masses."""
+    from .operators.linkage import fs_decision_table, fs_train
+    pf = _fs_pairs_flags(spark, sf_dir)
+    _ensure_side_table(sf_dir, _FS_PARAMS_PATH,
+                       lambda: fs_train(pf, _FS_N_FIELDS))
+    prm = sorted(spark.read.parquet(_FS_PARAMS_PATH).collect(),
+                 key=lambda r: r["field_id"])
+    m = [r["m"] for r in prm]
+    u = [r["u"] for r in prm]
+    table = fs_decision_table(m, u, _FS_N_FIELDS, _FS_MU, _FS_LAMERR)
+    ratio, dec = None, None
+    for pat, rt, d in table:
+        cond = F.col("pattern") == pat
+        ratio = (F.when(cond, F.lit(rt)) if ratio is None
+                 else ratio.when(cond, F.lit(rt)))
+        dec = (F.when(cond, F.lit(d)) if dec is None
+               else dec.when(cond, F.lit(d)))
+    return pf.select(
+        "id_a", "id_b", "pattern",
+        F.round(ratio, 6).alias("lr_ratio_r"),
+        dec.cast("bigint").alias("decision"))
+
+
+def _sql_fs_classify() -> str:
+    """The decision rule re-derived end-to-end in SQL: same SNM
+    pairs/flags CTEs as _sql_fs, per-pattern m/u probabilities as
+    left-to-right CASE products over range(16), and the link /
+    non-link frontiers as windowed running sums in (ratio DESC,
+    pattern ASC) order — the sequential order fs_decision_table
+    accumulates in, so the raw-double threshold comparisons agree."""
+    mp_expr, up_expr = "", ""
+    for i in range(_FS_N_FIELDS):
+        sel_m = f"(SELECT m FROM fsp WHERE field_id = {i})"
+        sel_u = f"(SELECT u FROM fsp WHERE field_id = {i})"
+        fm = (f"CASE WHEN pat & {1 << i} <> 0 THEN {sel_m} "
+              f"ELSE 1 - {sel_m} END")
+        fu = (f"CASE WHEN pat & {1 << i} <> 0 THEN {sel_u} "
+              f"ELSE 1 - {sel_u} END")
+        mp_expr = fm if i == 0 else f"({mp_expr} * {fm})"
+        up_expr = fu if i == 0 else f"({up_expr} * {fu})"
+    return f"""
+    WITH fsp AS (SELECT field_id, m, u, lam
+                 FROM read_parquet('{_FS_PARAMS_PATH}/*.parquet')),
+    keyed AS (
+        SELECT doc_id, lang, source, n_chars,
+               substr(replace(text, ' ', ''), 1, 12) AS pfx
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, row_number() OVER (ORDER BY pfx, doc_id) AS rnk
+        FROM keyed
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ranked a JOIN ranked b
+          ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
+    ), flagged AS (
+        SELECT p.id_a, p.id_b,
+               CAST((CASE WHEN da.lang IS NOT DISTINCT FROM db.lang
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN da.source IS NOT DISTINCT FROM db.source
+                          THEN 2 ELSE 0 END)
+                  + (CASE WHEN da.n_chars // {_FS_BAND}
+                               = db.n_chars // {_FS_BAND}
+                          THEN 4 ELSE 0 END)
+                  + (CASE WHEN da.pfx = db.pfx THEN 8 ELSE 0 END)
+                 AS BIGINT) AS pattern
+        FROM pairs p
+        JOIN keyed da ON p.id_a = da.doc_id
+        JOIN keyed db ON p.id_b = db.doc_id
+    ), probs AS (
+        SELECT CAST(range AS BIGINT) AS pat,
+               {mp_expr} AS mp,
+               {up_expr} AS up
+        FROM range({1 << _FS_N_FIELDS})
+    ), decided AS (
+        SELECT pat, round(mp / up, 6) AS lr_ratio_r,
+               SUM(up) OVER (ORDER BY mp / up DESC, pat
+                             ROWS UNBOUNDED PRECEDING) AS cu,
+               SUM(mp) OVER (ORDER BY mp / up DESC, pat
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS cm
+        FROM probs
+    )
+    SELECT CAST(fl.id_a AS BIGINT) AS id_a,
+           CAST(fl.id_b AS BIGINT) AS id_b,
+           fl.pattern,
+           d.lr_ratio_r,
+           CAST(CASE WHEN d.cu <= {_FS_MU} THEN 2
+                     WHEN d.cm <= {_FS_LAMERR} THEN 0
+                     ELSE 1 END AS BIGINT) AS decision
+    FROM flagged fl JOIN decided d ON d.pat = fl.pattern
+"""
+
+
+_MB_BAND = 64  # structural rule: n_chars length-band width
+
+
+def multi_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass blocking — the OR of independent blocking rules that
+    production linkage engines (Splink's blocking_rules_to_generate_
+    predictions) use so that one rule's blind spot is covered by
+    another — with per-rule PROVENANCE: rule 1 = sorted-neighborhood
+    (window 8 on the squeezed 12-char prefix), rule 2 = MinHash-LSH
+    band buckets (16 hashes x 4 bands), rule 4 = structural attribute
+    blocks (lang, n_chars div 64).  rules_mask = bitwise OR of the
+    rules that proposed the pair (each rule contributes its bit at
+    most once), n_rules = how many — the quantity a blocking-quality
+    audit reads to see which rules are redundant vs load-bearing.
+
+    Scale shape: the two key-equality rules run through the salted
+    candidate_pairs operator (hot blocks above 256 members are
+    triangular-salted — the sf0.1 structural blocks peak at 304, so
+    the salting path is live in the gate), SNM is O(n * window) by
+    construction, and the provenance merge is ONE groupBy on the pair
+    key with a map-side-combined SUM of distinct bits."""
+    _ensure_gram_hashes(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    # zero-padded ids: candidate_pairs normalizes with least/greatest
+    # on STRINGS; padding makes that lexicographic order numeric
+    pad_id = F.lpad(F.col("doc_id").cast("string"), 12, "0")
+    pfx = F.substring(F.translate(F.col("text"), " ", ""), 1, 12)
+
+    keyed = docs.select(F.col("doc_id").alias("rec_id"),
+                        pfx.alias("snm_key"))
+    # SNM orders pairs by RANK (sort-key position), not id — normalize
+    # to (min, max) so the same pair merges with the other rules' rows
+    snm_raw = sorted_neighborhood_pairs(keyed, key_col="snm_key",
+                                        id_col="rec_id",
+                                        window=_SNM_WINDOW)
+    snm = snm_raw.select(
+        F.least(F.col("id_a"), F.col("id_b")).cast("bigint").alias("id_a"),
+        F.greatest(F.col("id_a"), F.col("id_b")).cast("bigint")
+        .alias("id_b"),
+        F.lit(1).alias("bit"))
+
+    canon = docs.select(pad_id.alias("conv_id"),
+                        F.col("text").alias("full_text"))
+    mh = (candidate_pairs(minhash_blocks(canon, num_hashes=16, bands=4))
+          .select(F.col("id_a").cast("bigint").alias("id_a"),
+                  F.col("id_b").cast("bigint").alias("id_b"),
+                  F.lit(2).alias("bit")))
+
+    st_blocks = docs.select(
+        pad_id.alias("conv_id"),
+        F.concat(F.lit("lb:"), F.coalesce(F.col("lang"), F.lit("\x00")),
+                 F.lit("|"),
+                 F.expr(f"n_chars div {_MB_BAND}").cast("string"))
+        .alias("block_key"))
+    st = (candidate_pairs(st_blocks)
+          .select(F.col("id_a").cast("bigint").alias("id_a"),
+                  F.col("id_b").cast("bigint").alias("id_b"),
+                  F.lit(4).alias("bit")))
+
+    return (snm.unionByName(mh).unionByName(st)
+            .groupBy("id_a", "id_b")
+            .agg(F.sum("bit").cast("bigint").alias("rules_mask"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_rules")))
+
+
+# Oracle: each rule re-derived independently (SNM via the rank-band
+# self-join, LSH via the shared gram-hash side table -> permutation
+# minima -> band keys, structural via a null-safe attribute self-join),
+# then one grouped bit-sum.  Per-rule pair sets are distinct by
+# construction (SNM emits each co-window pair once; DISTINCT collapses
+# the <=4 band collisions; a pair lives in exactly one (lang, band)
+# block), so SUM(bit) is the bitwise OR.
+def _sql_multi_blocking() -> str:
+    return f"""
+    WITH mhb AS ({_sql_minhash_blocks()}),
+    keyed AS (
+        SELECT doc_id,
+               substr(replace(text, ' ', ''), 1, 12) AS snm_key
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY snm_key, doc_id) AS rnk
+        FROM keyed
+    ), snm AS (
+        -- rank-ordered co-window pairs, normalized to (min, max) id
+        SELECT least(a.doc_id, b.doc_id) AS id_a,
+               greatest(a.doc_id, b.doc_id) AS id_b
+        FROM ranked a JOIN ranked b
+          ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
+    ), mh AS (
+        SELECT DISTINCT CAST(a.conv_id AS BIGINT) AS id_a,
+                        CAST(b.conv_id AS BIGINT) AS id_b
+        FROM mhb a JOIN mhb b
+          ON a.block_key = b.block_key
+         AND CAST(a.conv_id AS BIGINT) < CAST(b.conv_id AS BIGINT)
+    ), st AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b
+          ON a.lang IS NOT DISTINCT FROM b.lang
+         AND a.n_chars // {_MB_BAND} = b.n_chars // {_MB_BAND}
+         AND a.doc_id < b.doc_id
+    ), u AS (
+        SELECT id_a, id_b, 1 AS bit FROM snm
+        UNION ALL SELECT id_a, id_b, 2 FROM mh
+        UNION ALL SELECT id_a, id_b, 4 FROM st
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CAST(SUM(bit) AS BIGINT) AS rules_mask,
+           CAST(COUNT(*) AS BIGINT) AS n_rules
+    FROM u GROUP BY id_a, id_b
+"""
+
+
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: tokens = spaces + 1 (documents are space-joined
     word sequences) — pure arithmetic, identical in SQL."""
@@ -2972,6 +3199,8 @@ def build_queries():
         "ann_lsh_topk": ann_lsh_topk,
         "fs_match_documents": fs_match_documents,
         "fs_tf_match_documents": fs_tf_match_documents,
+        "fs_classify_documents": fs_classify_documents,
+        "multi_blocking_pairs": multi_blocking_pairs,
         "media_decode_meta": media_decode_meta,
         "media_frame_sample": media_frame_sample,
         "media_resize_plan": media_resize_plan,
@@ -2997,6 +3226,8 @@ def build_oracle_sql():
         "snm_pairs_documents": _SQL_SNM_PAIRS,
         "fs_match_documents": _sql_fs(tf=False),
         "fs_tf_match_documents": _sql_fs(tf=True),
+        "fs_classify_documents": _sql_fs_classify(),
+        "multi_blocking_pairs": _sql_multi_blocking(),
         "doc_token_stats": _SQL_DOC_TOKENS,
         "doc_bpe_tokens": _SQL_BPE_TOKENS,
         "doc_quality": _SQL_DOC_QUALITY,

@@ -139,3 +139,56 @@ def fs_posterior_expr(flags: list[Column], lam: float,
         pu = pu * F.when(c, agree_u) \
                    .otherwise(F.lit(1.0 - float(u[i])))
     return pm / (pm + pu)
+
+def fs_decision_table(m: list[float], u: list[float], n_fields: int,
+                      mu: float, lam_err: float
+                      ) -> list[tuple[int, float, int]]:
+    """The Fellegi-Sunter OPTIMAL DECISION RULE (Fellegi & Sunter 1969,
+    theorem 1): order the 2^f agreement patterns by descending
+    likelihood ratio P(pattern|M)/P(pattern|U); designate LINK (2) from
+    the top while the accumulated false-match mass (sum of u-side
+    pattern probabilities over linked patterns) stays <= ``mu``, and
+    NON-LINK (0) from the bottom while the accumulated false-non-match
+    mass (m-side probabilities) stays <= ``lam_err``; everything
+    between is POSSIBLE (1) — the clerical-review band whose width the
+    two error bounds control.
+
+    Pure driver-side arithmetic over at most 2^f patterns (16 for
+    f=4) — O(2^f * f) scalar ops regardless of pair count, the same
+    scale shape as the EM step.  Determinism contract: products
+    multiply LEFT-TO-RIGHT in field order and the cumulative sums run
+    sequentially in (ratio DESC, pattern ASC) order, the exact order a
+    SQL oracle's windowed running sums replicate; the decision
+    comparisons use the raw doubles (no rounding) — a cross-engine
+    last-ulp difference in the running sum could only flip a decision
+    if a cumulative mass landed within ~1e-15 of an error bound, which
+    the fixed gate fixtures verify does not happen.
+
+    Returns [(pattern, likelihood_ratio, decision)] for every pattern,
+    decision in {2 link, 1 possible, 0 non-link}."""
+    pats = []
+    for pat in range(1 << n_fields):
+        mp, up = 1.0, 1.0
+        for i in range(n_fields):
+            bit = (pat >> i) & 1
+            mp *= m[i] if bit else 1.0 - m[i]
+            up *= u[i] if bit else 1.0 - u[i]
+        pats.append((pat, mp, up))
+    order = sorted(pats, key=lambda r: (-(r[1] / r[2]), r[0]))
+    cm_from_bottom: dict[int, float] = {}
+    cm = 0.0
+    for pat, mp, up in reversed(order):
+        cm += mp
+        cm_from_bottom[pat] = cm
+    out = []
+    cu = 0.0
+    for pat, mp, up in order:
+        cu += up
+        if cu <= mu:
+            dec = 2
+        elif cm_from_bottom[pat] <= lam_err:
+            dec = 0
+        else:
+            dec = 1
+        out.append((pat, mp / up, dec))
+    return out

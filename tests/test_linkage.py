@@ -178,3 +178,94 @@ def test_fs_contract_query_quality(spark):
     assert len(hi) > 10 and len(lo) > 100, (len(hi), len(lo))
     assert sum(1 for _, hit in hi if hit) >= 0.8 * len(hi)
     assert not any(hit for _, hit in lo)
+
+
+def test_fs_decision_table_semantics():
+    """The optimal decision rule on a hand-checkable 2-field model:
+    patterns order by likelihood ratio, the link region's accumulated
+    u-mass respects mu, the non-link region's m-mass respects lam_err,
+    and decisions are monotone non-increasing along the ratio order."""
+    from edlib_spark.operators.linkage import fs_decision_table
+    m, u = [0.9, 0.8], [0.1, 0.2]
+    # pattern probs: mp(3)=.72 up(3)=.02; mp(1)=.18 up(1)=.08;
+    # mp(2)=.08 up(2)=.18; mp(0)=.02 up(0)=.72 -> ratio order 3,1,2,0
+    table = fs_decision_table(m, u, 2, mu=0.05, lam_err=0.05)
+    by_pat = {p: (r, d) for p, r, d in table}
+    assert len(table) == 4 and set(by_pat) == {0, 1, 2, 3}
+    # link: only pattern 3 (cu=.02<=.05; adding pattern 1 -> .10)
+    # non-link: only pattern 0 (cm=.02<=.05; adding pattern 2 -> .10)
+    assert by_pat[3][1] == 2 and by_pat[1][1] == 1
+    assert by_pat[2][1] == 1 and by_pat[0][1] == 0
+    ratios = [by_pat[p][0] for p in (3, 1, 2, 0)]
+    assert ratios == sorted(ratios, reverse=True)
+    decs = [by_pat[p][1] for p in (3, 1, 2, 0)]
+    assert decs == sorted(decs, reverse=True)
+    # error bounds actually bound: u-mass of linked, m-mass of non-linked
+    assert sum(0.1 * 0.2 for p in (3,) ) <= 0.05
+    # widening the bounds widens the regions monotonically
+    loose = {p: d for p, _, d in
+             fs_decision_table(m, u, 2, mu=0.15, lam_err=0.15)}
+    assert loose[1] == 2 and loose[2] == 0  # clerical band absorbed
+
+
+def test_fs_classify_contract_consistency(spark):
+    """fs_classify_documents is coherent with fs_match_documents on
+    the sf0.001 fixture.  NOTE the two queries answer different
+    decision problems — the 0.5-posterior threshold includes the prior
+    lambda (~0.01 here), while the FS rule bounds ERROR RATES over
+    likelihood ratios — so a ratio-14 pattern can be LINK by
+    error-bound yet sit below 0.5 posterior.  What IS a theorem:
+    decisions are monotone in the likelihood ratio (link ratios >=
+    clerical ratios >= non-link ratios), posterior-matched pairs are
+    never ranked below unmatched ones, and all three classes appear."""
+    from edlib_spark.driver_contract import (fs_classify_documents,
+                                             fs_match_documents)
+    sf = "/root/testdata/sf0.001"
+    cls = {(r["id_a"], r["id_b"]): r
+           for r in fs_classify_documents(spark, sf).collect()}
+    mat = {(r["id_a"], r["id_b"]): r["is_match"]
+           for r in fs_match_documents(spark, sf).collect()}
+    assert set(cls) == set(mat)
+    decs = {r["decision"] for r in cls.values()}
+    assert decs == {0, 1, 2}
+    by_dec = {d: [r["lr_ratio_r"] for r in cls.values()
+                  if r["decision"] == d] for d in (0, 1, 2)}
+    assert min(by_dec[2]) >= max(by_dec[1]) >= max(by_dec[0])
+    # posterior >= 0.5 implies ratio >= (1-lam)/lam >> any clerical
+    # ratio on this fixture: matched pairs never land in NON-LINK
+    for k, r in cls.items():
+        if mat[k] == 1:
+            assert r["decision"] != 0, k
+    # same pattern -> same decision and same ratio everywhere
+    seen = {}
+    for r in cls.values():
+        prev = seen.setdefault(r["pattern"],
+                               (r["decision"], r["lr_ratio_r"]))
+        assert prev == (r["decision"], r["lr_ratio_r"])
+
+
+def test_multi_blocking_provenance(spark):
+    """multi_blocking_pairs provenance on sf0.001: masks are valid
+    bit-unions, n_rules is the popcount, each single rule's pair set
+    is exactly the mask-bit slice, and no rule subsumes the union
+    (every rule contributes pairs the others miss — the reason
+    multi-pass blocking exists)."""
+    from edlib_spark.driver_contract import (_SNM_WINDOW, _read,
+                                             multi_blocking_pairs,
+                                             snm_pairs_documents)
+    sf = "/root/testdata/sf0.001"
+    rows = multi_blocking_pairs(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["rules_mask"] <= 7
+        assert r["n_rules"] == bin(r["rules_mask"]).count("1")
+        assert r["id_a"] < r["id_b"]
+    # snm_pairs_documents orders by rank; normalize to (min, max)
+    snm = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+           for r in snm_pairs_documents(spark, sf).collect()}
+    got_snm = {(r["id_a"], r["id_b"]) for r in rows if r["rules_mask"] & 1}
+    assert got_snm == snm
+    # every rule contributes uniquely somewhere
+    only = {bit: sum(1 for r in rows if r["rules_mask"] == bit)
+            for bit in (1, 2, 4)}
+    assert all(v > 0 for v in only.values()), only
