@@ -192,11 +192,12 @@ def headline_queries(spark, sf_dir):
 def linkage_ann_section(spark, sf_dir) -> dict:
     """Round-5 operator additions, warm best-of-2 per query: SNM
     blocking (O(n*W) pairs, scale-safe global ranks), IVF-PQ ANN
-    (trained codebooks + table-lookup ADC), and Fellegi-Sunter
-    linkage plain + term-frequency-adjusted (pattern-histogram EM,
-    literal-inlined posteriors).  Side-table builds (k-means, PQ
-    codebooks, FS params) happen in the warm-up shot, outside the
-    reported numbers."""
+    (trained codebooks + table-lookup ADC), Fellegi-Sunter linkage
+    plain + term-frequency-adjusted (pattern-histogram EM,
+    literal-inlined posteriors), the FS three-way decision rule, and
+    multi-pass blocking with per-rule provenance.  Side-table builds
+    (k-means, PQ codebooks, FS params) happen in the warm-up shot,
+    outside the reported numbers."""
     from edlib_spark import driver_contract as dc
 
     queries = [
@@ -207,6 +208,10 @@ def linkage_ann_section(spark, sf_dir) -> dict:
         ("fs_match_documents", lambda: dc.fs_match_documents(
             spark, sf_dir).count()),
         ("fs_tf_match_documents", lambda: dc.fs_tf_match_documents(
+            spark, sf_dir).count()),
+        ("fs_classify_documents", lambda: dc.fs_classify_documents(
+            spark, sf_dir).count()),
+        ("multi_blocking_pairs", lambda: dc.multi_blocking_pairs(
             spark, sf_dir).count()),
     ]
     out = {}
