@@ -628,7 +628,7 @@ Headline per-query seconds at sf={results['sf']}: see BENCH_r*.json.
 
 This run's cold shot (fresh session, first scoring run):
 {results.get('pair_scoring_cold_sec', '?')} s.  Cold samples swing
-widely across solo runs (10.7-40 s seen at comparable ceiling
+widely across solo runs (6.2-40 s seen at comparable ceiling
 stamps) because the number is dominated by OS-level spawn + module
 import of the 32 Python workers, not by the plan: a warm-up probe
 that only spawns the fleet (import pandas/pyarrow/numpy + the cached
