@@ -213,6 +213,8 @@ def linkage_ann_section(spark, sf_dir) -> dict:
             spark, sf_dir).count()),
         ("multi_blocking_pairs", lambda: dc.multi_blocking_pairs(
             spark, sf_dir).count()),
+        ("fs_waterfall_documents", lambda: dc.fs_waterfall_documents(
+            spark, sf_dir).count()),
     ]
     out = {}
     for name, fn in queries:

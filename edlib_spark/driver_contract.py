@@ -737,6 +737,89 @@ def _sql_fs_classify() -> str:
 """
 
 
+def fs_waterfall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field match-weight decomposition (the 'waterfall' modern
+    linkage engines show to explain WHY a pair matched), in ODDS space
+    so both engines stay IEEE-exact — log2 is a display transform, and
+    cross-engine log libraries differ in the last ulp.  For each
+    candidate pair: the prior odds lam/(1-lam), each field's Bayes
+    factor m_i/u_i on agreement or (1-m_i)/(1-u_i) on disagreement,
+    and the posterior odds as the left-to-right product; the posterior
+    of fs_match_documents equals odds/(1+odds).  All factors inline as
+    literal CASE chains — zero joins or shuffles on the pair stream.
+    The oracle recomputes every division and the ordered product from
+    the shared side-table doubles."""
+    from .operators.linkage import fs_train
+    pf = _fs_pairs_flags(spark, sf_dir)
+    _ensure_side_table(sf_dir, _FS_PARAMS_PATH,
+                       lambda: fs_train(pf, _FS_N_FIELDS))
+    prm = sorted(spark.read.parquet(_FS_PARAMS_PATH).collect(),
+                 key=lambda r: r["field_id"])
+    lam = prm[0]["lam"]
+    m = [r["m"] for r in prm]
+    u = [r["u"] for r in prm]
+    odds = F.lit(lam / (1.0 - lam))
+    bf_cols = []
+    for i in range(_FS_N_FIELDS):
+        bf = (F.when(F.col(f"f{i}"), F.lit(m[i] / u[i]))
+              .otherwise(F.lit((1.0 - m[i]) / (1.0 - u[i]))))
+        bf_cols.append(F.round(bf, 6).alias(f"bf{i}_r"))
+        odds = odds * bf
+    return pf.select("id_a", "id_b", "pattern", *bf_cols,
+                     F.round(odds, 6).alias("odds_r"))
+
+
+def _sql_fs_waterfall() -> str:
+    """Waterfall oracle: the same SNM pairs/flags CTEs as _sql_fs,
+    each Bayes factor as the identical division of side-table doubles,
+    and the odds as the same left-to-right product."""
+    lam = "(SELECT lam FROM fsp WHERE field_id = 0)"
+    odds = f"({lam} / (1.0 - {lam}))"
+    bf_sel = []
+    for i in range(_FS_N_FIELDS):
+        sel_m = f"(SELECT m FROM fsp WHERE field_id = {i})"
+        sel_u = f"(SELECT u FROM fsp WHERE field_id = {i})"
+        bf = (f"CASE WHEN f{i} THEN {sel_m} / {sel_u} "
+              f"ELSE (1.0 - {sel_m}) / (1.0 - {sel_u}) END")
+        bf_sel.append(f"round({bf}, 6) AS bf{i}_r")
+        odds = f"({odds} * {bf})"
+    return f"""
+    WITH fsp AS (SELECT field_id, m, u, lam
+                 FROM read_parquet('{_FS_PARAMS_PATH}/*.parquet')),
+    keyed AS (
+        SELECT doc_id, lang, source, n_chars,
+               substr(replace(text, ' ', ''), 1, 12) AS pfx
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, row_number() OVER (ORDER BY pfx, doc_id) AS rnk
+        FROM keyed
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ranked a JOIN ranked b
+          ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
+    ), flagged AS (
+        SELECT p.id_a, p.id_b,
+               (da.lang IS NOT DISTINCT FROM db.lang) AS f0,
+               (da.source IS NOT DISTINCT FROM db.source) AS f1,
+               (da.n_chars // {_FS_BAND} = db.n_chars // {_FS_BAND})
+                   AS f2,
+               (da.pfx = db.pfx) AS f3
+        FROM pairs p
+        JOIN keyed da ON p.id_a = da.doc_id
+        JOIN keyed db ON p.id_b = db.doc_id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CAST((CASE WHEN f0 THEN 1 ELSE 0 END)
+              + (CASE WHEN f1 THEN 2 ELSE 0 END)
+              + (CASE WHEN f2 THEN 4 ELSE 0 END)
+              + (CASE WHEN f3 THEN 8 ELSE 0 END) AS BIGINT) AS pattern,
+           {', '.join(bf_sel)},
+           round({odds}, 6) AS odds_r
+    FROM flagged
+"""
+
+
 _MB_BAND = 64  # structural rule: n_chars length-band width
 
 
@@ -3207,6 +3290,7 @@ def build_queries():
         "fs_tf_match_documents": fs_tf_match_documents,
         "fs_classify_documents": fs_classify_documents,
         "multi_blocking_pairs": multi_blocking_pairs,
+        "fs_waterfall_documents": fs_waterfall_documents,
         "media_decode_meta": media_decode_meta,
         "media_frame_sample": media_frame_sample,
         "media_resize_plan": media_resize_plan,
@@ -3234,6 +3318,7 @@ def build_oracle_sql():
         "fs_tf_match_documents": _sql_fs(tf=True),
         "fs_classify_documents": _sql_fs_classify(),
         "multi_blocking_pairs": _sql_multi_blocking(),
+        "fs_waterfall_documents": _sql_fs_waterfall(),
         "doc_token_stats": _SQL_DOC_TOKENS,
         "doc_bpe_tokens": _SQL_BPE_TOKENS,
         "doc_quality": _SQL_DOC_QUALITY,

@@ -269,3 +269,31 @@ def test_multi_blocking_provenance(spark):
     only = {bit: sum(1 for r in rows if r["rules_mask"] == bit)
             for bit in (1, 2, 4)}
     assert all(v > 0 for v in only.values()), only
+
+
+def test_fs_waterfall_coherence(spark):
+    """The odds-space waterfall is the same model as the posterior:
+    odds/(1+odds) ~ fs_match's posterior (different IEEE evaluation
+    orders, so compare to 1e-6), reconstructing odds from the prior
+    and the per-field factors lands within rounding noise, and each
+    field's factor takes exactly two values (agree/disagree)."""
+    from edlib_spark.driver_contract import (fs_match_documents,
+                                             fs_waterfall_documents)
+    sf = "/root/testdata/sf0.001"
+    wf = {(r["id_a"], r["id_b"]): r
+          for r in fs_waterfall_documents(spark, sf).collect()}
+    post = {(r["id_a"], r["id_b"]): r["posterior_r"]
+            for r in fs_match_documents(spark, sf).collect()}
+    assert set(wf) == set(post)
+    prior_candidates = set()
+    for k, r in wf.items():
+        odds = r["odds_r"]
+        assert abs(odds / (1.0 + odds) - post[k]) <= 1e-6, k
+        prod = r["bf0_r"] * r["bf1_r"] * r["bf2_r"] * r["bf3_r"]
+        if prod > 0:
+            prior_candidates.add(round(odds / prod, 4))
+    # one shared prior across all pairs (rounding tolerance)
+    assert len(prior_candidates) <= 3, prior_candidates
+    for i in range(4):
+        vals = {r[f"bf{i}_r"] for r in wf.values()}
+        assert 1 <= len(vals) <= 2, (i, vals)
