@@ -2473,19 +2473,17 @@ def _sql_minhash_neardup(stratum: str = "TRUE") -> str:
 _SQL_MINHASH_NEARDUP = _sql_minhash_neardup()
 
 
-def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end dedup: MinHash+LSH candidates -> exact-Jaccard verify
-    -> large-star/small-star connected components -> one cluster id per
-    document (min doc_id of its near-dup group).  The ENTIRE pipeline
-    is SQL-checked: the oracle recomputes exact all-pairs Jaccard edges
-    and closes them with a recursive CTE."""
+def _neardup_clusters_of(docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """CC assignment (bigint doc_id -> bigint min-member cluster_id)
+    from already-built near-dup edges — shared by doc_neardup_clusters
+    and its downstream consumers (cluster_audit_documents) so a
+    composite query can pin the expensive edge derivation ONCE instead
+    of re-running the MinHash chain per branch."""
     from .operators.clustering import cluster_assignments
-    docs = _read(spark, sf_dir, "documents")
-    edges = (doc_minhash_neardup(spark, sf_dir)
-             .select(F.col("id_a").cast("string").alias("id_a"),
-                     F.col("id_b").cast("string").alias("id_b")))
     nodes = docs.select(F.col("doc_id").cast("string").alias("conv_id"))
-    assigned = cluster_assignments(nodes, edges)
+    assigned = cluster_assignments(
+        nodes, edges.select(F.col("id_a").cast("string").alias("id_a"),
+                            F.col("id_b").cast("string").alias("id_b")))
     # cluster ids were min'ed as STRINGS; renormalize numerically via a
     # window-min — one shuffle on the cluster key, O(1) state per row.
     # (A collect_list of members would materialize each cluster as one
@@ -2498,6 +2496,16 @@ def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.min("doc_id").over(Window.partitionBy("cid_str"))
                         .cast("bigint"))
             .select("doc_id", "cluster_id"))
+
+
+def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: MinHash+LSH candidates -> exact-Jaccard verify
+    -> large-star/small-star connected components -> one cluster id per
+    document (min doc_id of its near-dup group).  The ENTIRE pipeline
+    is SQL-checked: the oracle recomputes exact all-pairs Jaccard edges
+    and closes them with a recursive CTE."""
+    docs = _read(spark, sf_dir, "documents")
+    return _neardup_clusters_of(docs, doc_minhash_neardup(spark, sf_dir))
 
 
 def _sql_neardup_clusters(edges_sql: str | None = None) -> str:
@@ -3237,6 +3245,296 @@ def _sql_transcripts_clusters_small() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# cluster consumers: quality audit, survivorship, graded evaluation
+# ---------------------------------------------------------------------------
+
+def cluster_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster quality audit of the near-dup groups — the view a
+    linkage deployment reads before trusting transitive closure (CC
+    merges through CHAINS, so a cluster is only as strong as its
+    weakest edge): member count, verified-edge count, edge density
+    2e/(n(n-1)) (1.0 = clique of pairwise-verified near-dups, ->0 =
+    chain-merged), and the weakest member edge's exact Jaccard.
+
+    Scale shape: the edge derivation is pinned and SHARED with the CC
+    pass (one MinHash chain, not two); the audit itself is one
+    equi-join of edges to their id_a assignment (both endpoints share
+    a cluster by CC construction, so one side suffices) plus two
+    map-side-combined groupBys on cluster_id.  Singletons report 0
+    edges and NULL density/jaccard."""
+    docs = _read(spark, sf_dir, "documents")
+    edges = (doc_minhash_neardup(spark, sf_dir)
+             .localCheckpoint(eager=False))
+    clusters = _neardup_clusters_of(docs, edges)
+    members = (clusters.groupBy("cluster_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_members")))
+    ec = (edges.join(clusters.withColumnRenamed("doc_id", "id_a"), "id_a")
+          .groupBy("cluster_id")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+               F.min(F.col("inter_count") / F.col("union_count"))
+               .alias("min_jaccard")))
+    n = F.col("n_members")
+    ne = F.coalesce(F.col("n_edges"), F.lit(0))
+    return (members.join(ec, "cluster_id", "left")
+            .select("cluster_id", "n_members",
+                    ne.cast("bigint").alias("n_edges"),
+                    F.when(n > 1, (F.lit(2.0) * ne) / (n * (n - 1)))
+                     .alias("density"),
+                    "min_jaccard"))
+
+
+def _sql_cluster_audit(edges_sql: str | None = None) -> str:
+    """``edges_sql`` must provide (id_a, id_b, inter_count,
+    union_count): tools/cross_scale_check.py projects all four from
+    the Spark-written certificate side table at sf0.1; the contract
+    default recomputes the exhaustive all-pairs Jaccard edges."""
+    edges = edges_sql or _SQL_MINHASH_NEARDUP
+    return f"""
+    WITH RECURSIVE e AS ({edges}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM e
+            UNION SELECT id_b, id_a FROM e),
+    reach AS (
+        SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.u AS node, r.lab AS lab
+        FROM sym s JOIN reach r ON s.v = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS root FROM reach GROUP BY node),
+    cl AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                  CAST(coalesce(comp.root, d.doc_id) AS BIGINT)
+                      AS cluster_id
+           FROM documents d LEFT JOIN comp ON d.doc_id = comp.node),
+    m AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS nm
+          FROM cl GROUP BY cluster_id),
+    ec AS (SELECT cl.cluster_id, CAST(count(*) AS BIGINT) AS ne,
+                  min(e.inter_count / e.union_count) AS mj
+           FROM e JOIN cl ON e.id_a = cl.doc_id
+           GROUP BY cl.cluster_id)
+    SELECT m.cluster_id, m.nm AS n_members,
+           CAST(coalesce(ec.ne, 0) AS BIGINT) AS n_edges,
+           CASE WHEN m.nm > 1
+                THEN (2.0 * coalesce(ec.ne, 0)) / (m.nm * (m.nm - 1))
+                ELSE NULL END AS density,
+           ec.mj AS min_jaccard
+    FROM m LEFT JOIN ec ON m.cluster_id = ec.cluster_id
+"""
+
+
+_SQL_CLUSTER_AUDIT = _sql_cluster_audit()
+
+
+def golden_records_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record selection — the MDM step after
+    clustering: ONE canonical record per near-dup cluster under the
+    classic most-complete-record-wins rule (max n_chars, doc_id as the
+    total tie-break so the rule is deterministic), carrying its fields
+    and the cluster size.  One shuffle: the rank and the member count
+    share the same window partition (cluster_id), so Catalyst plans a
+    single exchange feeding both window functions — no second groupBy
+    pass over the corpus."""
+    clusters = doc_neardup_clusters(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    j = clusters.join(docs.select("doc_id", "lang", "source", "n_chars"),
+                      "doc_id")
+    wp = Window.partitionBy("cluster_id")
+    w = wp.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_members", F.count(F.lit(1)).over(wp))
+            .where(F.col("rn") == 1)
+            .select("cluster_id",
+                    F.col("doc_id").cast("bigint").alias("rep_id"),
+                    F.col("lang").alias("rep_lang"),
+                    F.col("source").alias("rep_source"),
+                    F.col("n_chars").cast("bigint").alias("rep_n_chars"),
+                    F.col("n_members").cast("bigint").alias("n_members")))
+
+
+def _sql_golden_records(edges_sql: str | None = None) -> str:
+    return f"""
+    WITH c AS ({_sql_neardup_clusters(edges_sql)}),
+    j AS (
+        SELECT c.cluster_id, d.doc_id, d.lang, d.source, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, d.doc_id ASC)
+                   AS rn,
+               count(*) OVER (PARTITION BY c.cluster_id) AS nm
+        FROM c JOIN documents d ON d.doc_id = c.doc_id)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS rep_id,
+           lang AS rep_lang,
+           source AS rep_source,
+           CAST(n_chars AS BIGINT) AS rep_n_chars,
+           CAST(nm AS BIGINT) AS n_members
+    FROM j WHERE rn = 1
+"""
+
+
+_SQL_GOLDEN_RECORDS = _sql_golden_records()
+
+
+def linkage_eval_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule metric as a graded operator: pairwise TP/FP/FN +
+    precision/recall/F1 of the flagship pipeline's clusters against
+    the fixture's planted ground truth (conv_id = c{cluster}_{variant},
+    sources/transcripts.py) — computed with the contingency-table
+    pair-counting identity (sum of C(n,2) over cells and over the two
+    marginals), so NOTHING quadratic is materialized: three
+    map-side-combined groupBys over the assignment table.  A hot
+    predicted cluster of 10^6 records contributes one cell row, not
+    5*10^11 pairs.  plans/linkage.pairwise_f1 is the driver-side dict
+    twin (bench reporting); this is the SQL-checked surface, and a
+    pytest pins the two coherent."""
+    pred = transcripts_clusters_small(spark, sf_dir)
+    cells = (pred.groupBy(
+                 F.col("cluster_id"),
+                 F.substring_index("conv_id", "_", 1).alias("truth_id"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .localCheckpoint(eager=False))
+    half = "s * (s - 1) div 2"
+    tp = cells.agg(F.sum(F.expr("n * (n - 1) div 2")).alias("tp"))
+    pp = (cells.groupBy("cluster_id").agg(F.sum("n").alias("s"))
+          .agg(F.sum(F.expr(half)).alias("pp")))
+    tt = (cells.groupBy("truth_id").agg(F.sum("n").alias("s"))
+          .agg(F.sum(F.expr(half)).alias("tpp")))
+    j = tp.crossJoin(pp).crossJoin(tt)
+    tp_c, pp_c, tt_c = F.col("tp"), F.col("pp"), F.col("tpp")
+    return j.select(
+        tp_c.cast("bigint").alias("tp"),
+        (pp_c - tp_c).cast("bigint").alias("fp"),
+        (tt_c - tp_c).cast("bigint").alias("fn"),
+        F.when(pp_c > 0, tp_c / pp_c).otherwise(F.lit(1.0))
+         .alias("pairwise_precision"),
+        F.when(tt_c > 0, tp_c / tt_c).otherwise(F.lit(1.0))
+         .alias("pairwise_recall"),
+        F.when(pp_c + tt_c > 0, (F.lit(2.0) * tp_c) / (pp_c + tt_c))
+         .otherwise(F.lit(1.0)).alias("pairwise_f1"))
+
+
+# Eval oracle: predicted clusters re-derived by the flagship query's
+# own recursive-CTE oracle, truth peeled from conv_id, then the same
+# pair-counting identity.  2*tp/(pp+tpp) is F1 exactly (denominator
+# = 2tp+fp+fn); single bigint/bigint divisions keep both engines on
+# one correctly-rounded IEEE step each.
+def _sql_linkage_eval() -> str:
+    return f"""
+    WITH pred AS ({_sql_transcripts_clusters_small()}),
+    cells AS (
+        SELECT cluster_id, split_part(conv_id, '_', 1) AS truth_id,
+               count(*) AS n
+        FROM pred GROUP BY cluster_id, truth_id),
+    tp_t AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+                 AS tp FROM cells),
+    pp_t AS (SELECT CAST(coalesce(sum(s * (s - 1) // 2), 0) AS BIGINT)
+                 AS pp
+             FROM (SELECT sum(n) AS s FROM cells GROUP BY cluster_id)),
+    tt_t AS (SELECT CAST(coalesce(sum(s * (s - 1) // 2), 0) AS BIGINT)
+                 AS tpp
+             FROM (SELECT sum(n) AS s FROM cells GROUP BY truth_id))
+    SELECT tp,
+           CAST(pp - tp AS BIGINT) AS fp,
+           CAST(tpp - tp AS BIGINT) AS fn,
+           CASE WHEN pp > 0 THEN tp / pp ELSE 1.0 END
+               AS pairwise_precision,
+           CASE WHEN tpp > 0 THEN tp / tpp ELSE 1.0 END
+               AS pairwise_recall,
+           CASE WHEN pp + tpp > 0 THEN (2.0 * tp) / (pp + tpp)
+                ELSE 1.0 END AS pairwise_f1
+    FROM tp_t, pp_t, tt_t
+"""
+
+
+def blocking_quality_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit (Christen 2012's RR / PC) of the
+    flagship pipeline's structural blocking on the planted-truth
+    fixture, graded: total pair space C(n,2), candidate count,
+    reduction ratio, true-match pairs (from truth-cluster sizes —
+    never materialized), how many of them blocking kept, and pairs
+    completeness — the recall CEILING any downstream scorer can
+    reach, the number that justifies a blocking strategy.  The truth
+    side uses the pair-counting identity; the covered count filters
+    the candidate set (already bounded by blocking) on truth-prefix
+    equality — nothing quadratic.  plans/linkage.blocking_quality is
+    the driver-side dict twin (BENCH/BLOCKING.md)."""
+    from .plans.linkage import LinkageConfig, run_linkage
+    path = ensure_transcripts_parquet(spark, "small")
+    stages = run_linkage(spark.read.parquet(path), LinkageConfig())
+    canon = stages["canonical"]
+    pairs = stages["pairs"].localCheckpoint(eager=False)
+    tot = canon.agg(F.count(F.lit(1)).alias("n"))
+    cand = pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
+    cov = (pairs.where(F.substring_index("id_a", "_", 1)
+                       == F.substring_index("id_b", "_", 1))
+           .agg(F.count(F.lit(1)).alias("n_covered")))
+    tru = (canon.groupBy(F.substring_index("conv_id", "_", 1)
+                         .alias("truth_id"))
+           .agg(F.count(F.lit(1)).alias("s"))
+           .agg(F.sum(F.expr("s * (s - 1) div 2")).alias("n_truth")))
+    j = tot.crossJoin(cand).crossJoin(cov).crossJoin(tru)
+    total = F.expr("n * (n - 1) div 2")
+    return j.select(
+        F.col("n").cast("bigint").alias("n_records"),
+        total.cast("bigint").alias("n_total_pairs"),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.col("n_truth").cast("bigint").alias("n_truth_pairs"),
+        F.col("n_covered").cast("bigint").alias("n_covered_pairs"),
+        (F.lit(1.0) - F.col("n_candidates") / total)
+        .alias("reduction_ratio"),
+        F.when(F.col("n_truth") > 0,
+               F.col("n_covered") / F.col("n_truth"))
+         .otherwise(F.lit(1.0)).alias("pairs_completeness"))
+
+
+# Blocking-quality oracle: the same canon/band/key/pair CTEs as the
+# flagship cluster oracle (duplicated textually, as the FS oracles
+# duplicate the SNM CTEs — each oracle stays a self-contained SQL
+# string), then four scalar aggregates and the two ratios.
+def _sql_blocking_quality() -> str:
+    from .plans.linkage import LinkageConfig
+    cfg = LinkageConfig()
+    path = transcripts_path("small")
+    ratio = 1.0 / (1.0 - cfg.band_tau)
+    return f"""
+    WITH c AS (
+        SELECT conv_id,
+               count(*) AS n_turns,
+               length(string_agg(coalesce(text, ''), '{SEP}'
+                                 ORDER BY turn_idx)) AS text_len
+        FROM read_parquet('{path}/*.parquet')
+        GROUP BY conv_id),
+    bands AS (
+        SELECT conv_id, n_turns, text_len,
+               CAST(floor(ln(CAST(greatest(text_len, 1) AS DOUBLE))
+                          / ln({ratio!r})) AS BIGINT) AS band
+        FROM c),
+    keys AS (
+        SELECT conv_id, 'st:' || n_turns || ':' || band AS bk FROM bands
+        UNION ALL
+        SELECT conv_id, 'st:' || n_turns || ':' || (band + 1) FROM bands),
+    p AS (
+        SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+        FROM keys a JOIN keys b
+          ON a.bk = b.bk AND a.conv_id < b.conv_id),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+    cand AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM p),
+    cov AS (SELECT CAST(count(*) AS BIGINT) AS n_covered FROM p
+            WHERE split_part(id_a, '_', 1) = split_part(id_b, '_', 1)),
+    tru AS (SELECT CAST(coalesce(sum(s * (s - 1) // 2), 0) AS BIGINT)
+                AS n_truth
+            FROM (SELECT count(*) AS s FROM c
+                  GROUP BY split_part(conv_id, '_', 1)))
+    SELECT n AS n_records,
+           CAST(n * (n - 1) // 2 AS BIGINT) AS n_total_pairs,
+           n_candidates,
+           n_truth AS n_truth_pairs,
+           n_covered AS n_covered_pairs,
+           1.0 - (n_candidates / (n * (n - 1) // 2)) AS reduction_ratio,
+           CASE WHEN n_truth > 0 THEN n_covered / n_truth ELSE 1.0 END
+               AS pairs_completeness
+    FROM tot, cand, cov, tru
+"""
+
+
 def build_queries():
     return {
         "canonical_conversations": canonical_conversations,
@@ -3291,6 +3589,10 @@ def build_queries():
         "fs_classify_documents": fs_classify_documents,
         "multi_blocking_pairs": multi_blocking_pairs,
         "fs_waterfall_documents": fs_waterfall_documents,
+        "cluster_audit_documents": cluster_audit_documents,
+        "golden_records_documents": golden_records_documents,
+        "linkage_eval_small": linkage_eval_small,
+        "blocking_quality_small": blocking_quality_small,
         "media_decode_meta": media_decode_meta,
         "media_frame_sample": media_frame_sample,
         "media_resize_plan": media_resize_plan,
@@ -3319,6 +3621,10 @@ def build_oracle_sql():
         "fs_classify_documents": _sql_fs_classify(),
         "multi_blocking_pairs": _sql_multi_blocking(),
         "fs_waterfall_documents": _sql_fs_waterfall(),
+        "cluster_audit_documents": _SQL_CLUSTER_AUDIT,
+        "golden_records_documents": _SQL_GOLDEN_RECORDS,
+        "linkage_eval_small": _sql_linkage_eval(),
+        "blocking_quality_small": _sql_blocking_quality(),
         "doc_token_stats": _SQL_DOC_TOKENS,
         "doc_bpe_tokens": _SQL_BPE_TOKENS,
         "doc_quality": _SQL_DOC_QUALITY,

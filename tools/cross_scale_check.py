@@ -131,6 +131,14 @@ def build_overrides(spark, sf_dir):
     def doc_edge_sql() -> str:
         return _edge_sql("docs", f"{DATA}/xs_doc_edges.parquet")
 
+    def doc_edge_sql_full() -> str:
+        # cluster_audit's oracle needs the exact-Jaccard counts too;
+        # the side table always carries the producer's full columns —
+        # only the projection differs from doc_edge_sql()
+        doc_edge_sql()
+        return ("SELECT id_a, id_b, inter_count, union_count FROM "
+                f"read_parquet('{DATA}/xs_doc_edges.parquet/*.parquet')")
+
     def training_edge_sql() -> str:
         return _edge_sql("training",
                          f"{DATA}/xs_training_edges.parquet")
@@ -169,6 +177,14 @@ def build_overrides(spark, sf_dir):
         "doc_neardup_clusters": (
             lambda: dc.doc_neardup_clusters(spark, sf_dir),
             lambda: dc._sql_neardup_clusters(doc_edge_sql()),
+            "certificate"),
+        "cluster_audit_documents": (
+            lambda: dc.cluster_audit_documents(spark, sf_dir),
+            lambda: dc._sql_cluster_audit(doc_edge_sql_full()),
+            "certificate"),
+        "golden_records_documents": (
+            lambda: dc.golden_records_documents(spark, sf_dir),
+            lambda: dc._sql_golden_records(doc_edge_sql()),
             "certificate"),
         "doc_dedup_corpus": (
             lambda: dc.doc_dedup_corpus(spark, sf_dir),
