@@ -820,6 +820,141 @@ def _sql_fs_waterfall() -> str:
 """
 
 
+_FS_QUEUE_N = 100  # clerical-review queue depth
+
+
+def fs_review_queue_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLERICAL-REVIEW QUEUE: the prioritized worklist a human
+    reviewer consumes from the FS three-way rule's middle band —
+    exactly the pairs fs_classify_documents routes to decision=1,
+    ordered by AMBIGUITY (match posterior closest to 0.5 first:
+    uncertainty sampling, the order that maximizes information per
+    human label), ties broken by (id_a, id_b) so the queue is a total
+    order over unique SNM pairs, truncated to the top _FS_QUEUE_N.
+
+    Scale shape: the band membership is a literal IN over <=16
+    patterns (whole-stage codegen, zero joins on the pair stream);
+    the global ordering is a LIMIT-ed top-k — Spark plans
+    TakeOrderedAndProject (per-partition heaps + a driver merge of N
+    rows), never a full sort of the band; the queue_pos window then
+    runs over <= N rows, bounded by construction.  The posterior is
+    the same left-to-right literal product fs_match_documents uses,
+    so both engines land bit-identical doubles and the ambiguity
+    order cannot diverge."""
+    from .operators.linkage import (fs_decision_table,
+                                    fs_posterior_expr, fs_train)
+    pf = _fs_pairs_flags(spark, sf_dir)
+    _ensure_side_table(sf_dir, _FS_PARAMS_PATH,
+                       lambda: fs_train(pf, _FS_N_FIELDS))
+    prm = sorted(spark.read.parquet(_FS_PARAMS_PATH).collect(),
+                 key=lambda r: r["field_id"])
+    lam = prm[0]["lam"]
+    m = [r["m"] for r in prm]
+    u = [r["u"] for r in prm]
+    review = [int(pat) for pat, _rt, d in
+              fs_decision_table(m, u, _FS_N_FIELDS, _FS_MU, _FS_LAMERR)
+              if d == 1]
+    post = fs_posterior_expr(
+        [F.col(f"f{i}") for i in range(_FS_N_FIELDS)], lam, m, u)
+    top = (pf.where(F.col("pattern").isin(review))
+           .select("id_a", "id_b", "pattern", post.alias("_post"),
+                   F.abs(post - F.lit(0.5)).alias("_amb"))
+           .orderBy(F.asc("_amb"), F.asc("id_a"), F.asc("id_b"))
+           .limit(_FS_QUEUE_N))
+    w = Window.orderBy(F.asc("_amb"), F.asc("id_a"), F.asc("id_b"))
+    return (top.withColumn("queue_pos", F.row_number().over(w))
+            .select(F.col("queue_pos").cast("bigint").alias("queue_pos"),
+                    "id_a", "id_b", "pattern",
+                    F.round("_post", 6).alias("posterior_r"),
+                    F.round("_amb", 6).alias("ambiguity_r")))
+
+
+def _sql_fs_review_queue() -> str:
+    """Queue oracle: the same SNM pairs/flags CTEs, the decision
+    frontier re-derived per pattern as in _sql_fs_classify (windowed
+    running error masses in the same sequential order), the posterior
+    as _sql_fs's left-to-right lam-weighted product — evaluated once
+    per PATTERN (16 rows) rather than per pair, which is also how the
+    Spark side's literal CASE collapses — and the queue as ORDER BY
+    (ambiguity, id_a, id_b) LIMIT N with row_number over the same
+    total order."""
+    lam_sel = "(SELECT lam FROM fsp WHERE field_id = 0)"
+    pm, pu = lam_sel, f"(1 - {lam_sel})"
+    mp_expr, up_expr = "", ""
+    for i in range(_FS_N_FIELDS):
+        sel_m = f"(SELECT m FROM fsp WHERE field_id = {i})"
+        sel_u = f"(SELECT u FROM fsp WHERE field_id = {i})"
+        fm = (f"CASE WHEN pat & {1 << i} <> 0 THEN {sel_m} "
+              f"ELSE 1 - {sel_m} END")
+        fu = (f"CASE WHEN pat & {1 << i} <> 0 THEN {sel_u} "
+              f"ELSE 1 - {sel_u} END")
+        mp_expr = fm if i == 0 else f"({mp_expr} * {fm})"
+        up_expr = fu if i == 0 else f"({up_expr} * {fu})"
+        pm = f"({pm} * {fm})"
+        pu = f"({pu} * {fu})"
+    return f"""
+    WITH fsp AS (SELECT field_id, m, u, lam
+                 FROM read_parquet('{_FS_PARAMS_PATH}/*.parquet')),
+    keyed AS (
+        SELECT doc_id, lang, source, n_chars,
+               substr(replace(text, ' ', ''), 1, 12) AS pfx
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, row_number() OVER (ORDER BY pfx, doc_id) AS rnk
+        FROM keyed
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ranked a JOIN ranked b
+          ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
+    ), flagged AS (
+        SELECT p.id_a, p.id_b,
+               CAST((CASE WHEN da.lang IS NOT DISTINCT FROM db.lang
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN da.source IS NOT DISTINCT FROM db.source
+                          THEN 2 ELSE 0 END)
+                  + (CASE WHEN da.n_chars // {_FS_BAND}
+                               = db.n_chars // {_FS_BAND}
+                          THEN 4 ELSE 0 END)
+                  + (CASE WHEN da.pfx = db.pfx THEN 8 ELSE 0 END)
+                 AS BIGINT) AS pattern
+        FROM pairs p
+        JOIN keyed da ON p.id_a = da.doc_id
+        JOIN keyed db ON p.id_b = db.doc_id
+    ), probs AS (
+        SELECT CAST(range AS BIGINT) AS pat,
+               {mp_expr} AS mp,
+               {up_expr} AS up,
+               {pm} / ({pm} + {pu}) AS post
+        FROM range({1 << _FS_N_FIELDS})
+    ), decided AS (
+        SELECT pat, post,
+               SUM(up) OVER (ORDER BY mp / up DESC, pat
+                             ROWS UNBOUNDED PRECEDING) AS cu,
+               SUM(mp) OVER (ORDER BY mp / up DESC, pat
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS cm
+        FROM probs
+    ), band AS (
+        SELECT pat, post, abs(post - 0.5) AS amb
+        FROM decided
+        WHERE NOT (cu <= {_FS_MU}) AND NOT (cm <= {_FS_LAMERR})
+    ), topq AS (
+        SELECT fl.id_a, fl.id_b, fl.pattern, b.post, b.amb
+        FROM flagged fl JOIN band b ON b.pat = fl.pattern
+        ORDER BY b.amb, fl.id_a, fl.id_b
+        LIMIT {_FS_QUEUE_N}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY amb, id_a, id_b)
+                AS BIGINT) AS queue_pos,
+           CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           pattern,
+           round(post, 6) AS posterior_r,
+           round(amb, 6) AS ambiguity_r
+    FROM topq
+"""
+
+
 _MB_BAND = 64  # structural rule: n_chars length-band width
 
 
@@ -3589,6 +3724,7 @@ def build_queries():
         "fs_classify_documents": fs_classify_documents,
         "multi_blocking_pairs": multi_blocking_pairs,
         "fs_waterfall_documents": fs_waterfall_documents,
+        "fs_review_queue_documents": fs_review_queue_documents,
         "cluster_audit_documents": cluster_audit_documents,
         "golden_records_documents": golden_records_documents,
         "linkage_eval_small": linkage_eval_small,
@@ -3621,6 +3757,7 @@ def build_oracle_sql():
         "fs_classify_documents": _sql_fs_classify(),
         "multi_blocking_pairs": _sql_multi_blocking(),
         "fs_waterfall_documents": _sql_fs_waterfall(),
+        "fs_review_queue_documents": _sql_fs_review_queue(),
         "cluster_audit_documents": _SQL_CLUSTER_AUDIT,
         "golden_records_documents": _SQL_GOLDEN_RECORDS,
         "linkage_eval_small": _sql_linkage_eval(),

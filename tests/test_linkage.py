@@ -297,3 +297,29 @@ def test_fs_waterfall_coherence(spark):
     for i in range(4):
         vals = {r[f"bf{i}_r"] for r in wf.values()}
         assert 1 <= len(vals) <= 2, (i, vals)
+
+
+def test_fs_review_queue_semantics(spark):
+    """The review queue must be exactly the uncertainty-sampled head
+    of fs_classify's clerical band: every queued pair carries
+    decision=1, queue_pos is a contiguous 1..N ramp in non-decreasing
+    ambiguity order with deterministic (id_a, id_b) tie-breaks, the
+    ambiguity column is |posterior - 0.5|, and the queue truncates at
+    _FS_QUEUE_N exactly when the band is deeper than the queue."""
+    from edlib_spark.driver_contract import (_FS_QUEUE_N,
+                                             fs_classify_documents,
+                                             fs_review_queue_documents)
+    sf = "/root/testdata/sf0.001"
+    q = (fs_review_queue_documents(spark, sf)
+         .orderBy("queue_pos").collect())
+    cls = {(r["id_a"], r["id_b"]): r["decision"]
+           for r in fs_classify_documents(spark, sf).collect()}
+    band = sum(1 for d in cls.values() if d == 1)
+    assert len(q) == min(_FS_QUEUE_N, band)
+    assert [r["queue_pos"] for r in q] == list(range(1, len(q) + 1))
+    for r in q:
+        assert cls[(r["id_a"], r["id_b"])] == 1, r
+        assert abs(abs(r["posterior_r"] - 0.5) - r["ambiguity_r"]) \
+            <= 2e-6, r
+    keys = [(r["ambiguity_r"], r["id_a"], r["id_b"]) for r in q]
+    assert keys == sorted(keys)
