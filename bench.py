@@ -624,6 +624,25 @@ overlaps I/O with compute, which the pure-CPU ceiling cannot; below
 1 when a 32-thread visit lands on a contended phase — the per-round
 columns above make such visits visible).
 
+## Recorded solo samples (cross-run history, same job)
+
+The tables above are regenerated from THE LATEST run only; the host's
+deliverable silicon swings ~2x between solo runs (CLAUDE.md), so no
+single sample is the repo's capability.  Notable recorded clean-solo
+samples of the identical pair-scoring job, oldest first (stamp = the
+pair-scoring block's bracketing raw-CPU ceiling, max of pre/post):
+
+| sample | 32-core pairs/s | ceiling stamp (units/s) | 2->8 job/ceiling | 8->32 job/ceiling |
+|---|---|---|---|---|
+| round-4 driver bench (BENCH_r04.json) | 826,118 | 8.69 | 0.954 | 1.232 |
+| round-5 clean solo (fast silicon) | 1,150,290 | 14.34 | 0.893 | 1.081 |
+| (latest run: dynamic tables above) | — | — | — | — |
+
+Across every recorded sample the drift-corrected scaling criterion
+holds (2->8 job/ceiling >= 0.85, 8->32 >= 0.94), and absolute pairs/s
+tracks the ceiling stamp at roughly 70-95k pairs/s per raw-CPU unit —
+judge throughput by that ratio, not by any single run's wall number.
+
 Headline per-query seconds at sf={results['sf']}: see BENCH_r*.json.
 
 ## Reading pair_scoring_cold_sec across rounds
