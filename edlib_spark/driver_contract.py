@@ -3579,6 +3579,71 @@ def _sql_linkage_eval() -> str:
 """
 
 
+def bcubed_eval_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed evaluation (Bagga & Baldwin 1998) of the flagship
+    pipeline's clusters against the fixture's planted truth — the
+    record-weighted complement to ``linkage_eval_small``'s pairwise
+    F1 (standard ER practice reports both: pairwise weighs clusters
+    quadratically in size, B-cubed weighs every record once, so
+    singleton handling and small-cluster purity stay visible in the
+    score).  Graded at CELL granularity: one row per (predicted
+    cluster, truth label) overlap with its count, both marginal sizes,
+    and the cell's B-cubed precision/recall mass n^2/size — each mass
+    is ONE bigint-over-bigint IEEE division, so both engines land on
+    the identical double (the repo's hash-stable float convention);
+    the global P/R/F1 = sum(mass)/N is a cross-row double sum whose
+    addition order Spark does not define, so the scalar rollup lives
+    in plans/linkage.bcubed (dict twin, pytest-pinned coherent).
+    Scale shape: the corpus is touched once by the flagship's own
+    clustering; everything here shuffles only the cell table (at most
+    one row per cluster-label overlap — O(#clusters), not O(records)),
+    and the two marginal sizes share it via two window sums."""
+    pred = transcripts_clusters_small(spark, sf_dir)
+    cells = (pred.groupBy(
+                 F.col("cluster_id"),
+                 F.substring_index("conv_id", "_", 1).alias("truth_id"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    wp = Window.partitionBy("cluster_id")
+    wt = Window.partitionBy("truth_id")
+    return (cells
+            .withColumn("pred_size", F.sum("n").over(wp))
+            .withColumn("truth_size", F.sum("n").over(wt))
+            .select("cluster_id", "truth_id",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.col("pred_size").cast("bigint").alias("pred_size"),
+                    F.col("truth_size").cast("bigint").alias("truth_size"),
+                    (F.col("n") * F.col("n") / F.col("pred_size"))
+                    .alias("precision_mass"),
+                    (F.col("n") * F.col("n") / F.col("truth_size"))
+                    .alias("recall_mass")))
+
+
+# B-cubed oracle: the same cell table from the flagship query's
+# recursive-CTE cluster oracle; n*n/size is one exact IEEE division
+# per row in both engines (DuckDB `/` on integers is double division,
+# matching Spark's `/` on bigints).
+def _sql_bcubed_eval() -> str:
+    return f"""
+    WITH pred AS ({_sql_transcripts_clusters_small()}),
+    cells AS (
+        SELECT cluster_id, split_part(conv_id, '_', 1) AS truth_id,
+               count(*) AS n
+        FROM pred GROUP BY cluster_id, truth_id),
+    sized AS (
+        SELECT cluster_id, truth_id, n,
+               sum(n) OVER (PARTITION BY cluster_id) AS pred_size,
+               sum(n) OVER (PARTITION BY truth_id) AS truth_size
+        FROM cells)
+    SELECT cluster_id, truth_id,
+           CAST(n AS BIGINT) AS n,
+           CAST(pred_size AS BIGINT) AS pred_size,
+           CAST(truth_size AS BIGINT) AS truth_size,
+           (n * n) / pred_size AS precision_mass,
+           (n * n) / truth_size AS recall_mass
+    FROM sized
+"""
+
+
 def blocking_quality_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-quality audit (Christen 2012's RR / PC) of the
     flagship pipeline's structural blocking on the planted-truth
@@ -3728,6 +3793,7 @@ def build_queries():
         "cluster_audit_documents": cluster_audit_documents,
         "golden_records_documents": golden_records_documents,
         "linkage_eval_small": linkage_eval_small,
+        "bcubed_eval_small": bcubed_eval_small,
         "blocking_quality_small": blocking_quality_small,
         "media_decode_meta": media_decode_meta,
         "media_frame_sample": media_frame_sample,
@@ -3761,6 +3827,7 @@ def build_oracle_sql():
         "cluster_audit_documents": _SQL_CLUSTER_AUDIT,
         "golden_records_documents": _SQL_GOLDEN_RECORDS,
         "linkage_eval_small": _sql_linkage_eval(),
+        "bcubed_eval_small": _sql_bcubed_eval(),
         "blocking_quality_small": _sql_blocking_quality(),
         "doc_token_stats": _SQL_DOC_TOKENS,
         "doc_bpe_tokens": _SQL_BPE_TOKENS,

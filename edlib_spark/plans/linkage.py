@@ -155,6 +155,47 @@ def pairwise_f1(clusters: DataFrame, truth: DataFrame) -> dict:
             "common_pairs": float(both_pairs)}
 
 
+def bcubed(clusters: DataFrame, truth: DataFrame) -> dict:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of predicted
+    clusters vs truth — the record-weighted complement to
+    :func:`pairwise_f1`: pairwise counting weighs a cluster
+    quadratically in its size, so one giant merged cluster dominates
+    the score, while B-cubed weighs every RECORD once (singleton
+    handling and small-cluster purity stay visible).  Standard ER
+    practice reports both.
+
+    Both inputs: (conv_id, cluster_id).  The per-record definition
+    (precision of a record = the fraction of its predicted cluster
+    sharing its truth label) collapses onto the contingency cells:
+    precision = sum over cells of n^2/|pred cluster| / N and recall =
+    sum of n^2/|truth cluster| / N — nothing quadratic is
+    materialized; two window sums + one aggregation over the cell
+    table, which is at most one row per (pred, truth) overlap.
+    """
+    from pyspark.sql import Window
+    joined = (clusters.withColumnRenamed("cluster_id", "pred")
+              .join(truth.withColumnRenamed("cluster_id", "label"),
+                    "conv_id"))
+    cells = joined.groupBy("pred", "label").count()
+    wp = Window.partitionBy("pred")
+    wt = Window.partitionBy("label")
+    row = (cells
+           .withColumn("p_mass", F.col("count") * F.col("count")
+                       / F.sum("count").over(wp))
+           .withColumn("r_mass", F.col("count") * F.col("count")
+                       / F.sum("count").over(wt))
+           .agg(F.sum("p_mass").alias("p"), F.sum("r_mass").alias("r"),
+                F.sum("count").alias("n"))
+           .collect()[0])
+    n = row["n"] or 0
+    precision = row["p"] / n if n else 1.0
+    recall = row["r"] / n if n else 1.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {"precision": precision, "recall": recall, "f1": f1,
+            "n_records": float(n)}
+
+
 def blocking_quality(pairs: DataFrame, truth: DataFrame) -> dict:
     """Standard blocking-evaluation metrics (Christen, "Data Matching",
     2012): reduction ratio RR = 1 - |candidates| / C(n,2) and pairs

@@ -88,6 +88,39 @@ def test_linkage_eval_meets_north_rule_and_matches_dict_twin(spark):
     assert row["pairwise_f1"] == pytest.approx(d["f1"])
 
 
+def test_bcubed_eval_invariants_and_matches_dict_twin(spark):
+    """The B-cubed cell table must satisfy the metric's accounting
+    identities (cells partition the N records; each mass is in (0, n])
+    and its scalar rollup must equal plans/linkage.bcubed; on the
+    planted-truth fixture the flagship clusters are exact, so every
+    cell is pure AND complete (n = pred_size = truth_size) and
+    B-cubed F1 = 1.0 — stricter than the >= 0.99 north rule."""
+    from edlib_spark.plans.linkage import bcubed
+    cells = dc.bcubed_eval_small(spark, SF).collect()
+    pred = dc.transcripts_clusters_small(spark, SF)
+    n_records = pred.count()
+    assert sum(r["n"] for r in cells) == n_records
+    for r in cells:
+        assert 0 < r["n"] <= r["pred_size"], r
+        assert r["n"] <= r["truth_size"], r
+        assert r["precision_mass"] == pytest.approx(
+            r["n"] ** 2 / r["pred_size"]), r
+        assert r["recall_mass"] == pytest.approx(
+            r["n"] ** 2 / r["truth_size"]), r
+    p = sum(r["precision_mass"] for r in cells) / n_records
+    rr = sum(r["recall_mass"] for r in cells) / n_records
+    truth = pred.select(
+        "conv_id",
+        F.substring_index("conv_id", "_", 1).alias("cluster_id"))
+    d = bcubed(pred, truth)
+    assert d["n_records"] == n_records
+    assert p == pytest.approx(d["precision"])
+    assert rr == pytest.approx(d["recall"])
+    assert d["f1"] == pytest.approx(1.0)
+    for r in cells:
+        assert r["n"] == r["pred_size"] == r["truth_size"], r
+
+
 def test_blocking_quality_matches_dict_twin(spark):
     """Same coherence pin for the blocking audit: the graded query and
     plans/linkage.blocking_quality must agree on every count, and the
