@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.alignment import align_expr, edit_distance
@@ -395,6 +395,44 @@ _SQL_DOC_DEDUP = """
 _SNM_WINDOW = 8
 
 
+def _snm_prefix_key() -> Column:
+    """The SNM sort key: text with spaces squeezed out, first 12
+    chars, NULL coalesced to '' — snm_ranks' documented non-null
+    precondition (Spark range-sorts NULLs first while DuckDB's
+    row_number places them last, so an un-coalesced NULL text would
+    silently diverge the ranks and every SNM-derived query)."""
+    return F.substring(
+        F.translate(F.coalesce(F.col("text"), F.lit("")), " ", ""),
+        1, 12)
+
+
+# The SQL twin of _snm_prefix_key plus the keyed/ranked/pairs CTE
+# block shared by EVERY SNM-derived oracle (snm_pairs, the four FS
+# oracles, multi_blocking): one source of truth for the key
+# expression, the (pfx, doc_id) total order, and the window, so the
+# derivation cannot drift between oracles.
+_SNM_KEY_SQL = "substr(replace(coalesce(text, ''), ' ', ''), 1, 12)"
+
+
+def _snm_ctes(attrs: bool = False) -> str:
+    """Render the shared keyed/ranked/pairs CTEs.  ``attrs`` carries
+    the FS comparison fields (lang, source, n_chars) through keyed for
+    the flag derivations."""
+    extra = ", lang, source, n_chars" if attrs else ""
+    return f"""keyed AS (
+        SELECT doc_id{extra}, {_SNM_KEY_SQL} AS pfx
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, row_number() OVER (ORDER BY pfx, doc_id) AS rnk
+        FROM keyed
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               b.rnk - a.rnk AS rank_gap
+        FROM ranked a JOIN ranked b
+          ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
+    )"""
+
+
 def snm_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (the third classic ER blocking
     family next to key-equality blocks and LSH): sort documents by a
@@ -407,8 +445,7 @@ def snm_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     keyed = docs.select(
         F.col("doc_id").alias("rec_id"),
-        F.substring(F.translate(F.col("text"), " ", ""), 1, 12)
-        .alias("snm_key"))
+        _snm_prefix_key().alias("snm_key"))
     return (sorted_neighborhood_pairs(keyed, key_col="snm_key",
                                       id_col="rec_id",
                                       window=_SNM_WINDOW)
@@ -419,24 +456,15 @@ def snm_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The oracle re-derives the WHOLE operator independently: the same key,
 # one ANSI row_number over the total order (fine single-node at oracle
-# scale), and a rank-band self-join.  Spark and DuckDB both compare
-# strings bytewise (fixtures are ASCII anyway) and the (key, doc_id)
-# order is total, so ranks agree exactly.
+# scale), and a rank-band self-join (the shared _snm_ctes block).
+# Spark and DuckDB both compare strings bytewise (fixtures are ASCII
+# anyway) and the (key, doc_id) order is total, so ranks agree exactly.
 _SQL_SNM_PAIRS = f"""
-    WITH keyed AS (
-        SELECT doc_id,
-               substr(replace(text, ' ', ''), 1, 12) AS snm_key
-        FROM documents
-    ), ranked AS (
-        SELECT doc_id,
-               row_number() OVER (ORDER BY snm_key, doc_id) AS rnk
-        FROM keyed
-    )
-    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
-           CAST(b.doc_id AS BIGINT) AS id_b,
-           CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap
-    FROM ranked a JOIN ranked b
-      ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
+    WITH {_snm_ctes()}
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CAST(rank_gap AS BIGINT) AS rank_gap
+    FROM pairs
 """
 
 
@@ -454,7 +482,7 @@ def _fs_pairs_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 lang, 1 source, 2 length band (n_chars div 64), 3 key prefix."""
     from .operators.linkage import agreement_bits
     docs = _read(spark, sf_dir, "documents")
-    pfx = F.substring(F.translate(F.col("text"), " ", ""), 1, 12)
+    pfx = _snm_prefix_key()
     keyed = docs.select(F.col("doc_id").alias("rec_id"),
                         pfx.alias("snm_key"))
     pairs = sorted_neighborhood_pairs(keyed, key_col="snm_key",
@@ -553,16 +581,85 @@ def fs_tf_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (post >= 0.5).cast("bigint").alias("is_match"))
 
 
-# FS oracles: pairs + flags re-derived exactly as _SQL_SNM_PAIRS (same
-# key, same window, same attribute arithmetic); lambda/m/u come from
-# the shared side table via scalar subqueries, and both probability
-# products are parenthesized LEFT-TO-RIGHT in field order — the same
-# IEEE evaluation order the Spark literals use, so the doubles match
-# bit-for-bit before rounding.  ONE builder generates both the plain
-# and the TF-adjusted variant so the SNM derivation, flag expressions,
-# and product order cannot drift between them; the TF variant swaps
-# the u-side factor on the two categorical fields for the shared
-# value's recomputed corpus frequency and joins the frequency CTEs.
+# FS oracles: pairs + flags re-derived exactly as _SQL_SNM_PAIRS (the
+# shared _snm_ctes block — same key, same window) with the same
+# attribute arithmetic; lambda/m/u come from the shared side table via
+# scalar subqueries, and both probability products are parenthesized
+# LEFT-TO-RIGHT in field order — the same IEEE evaluation order the
+# Spark literals use, so the doubles match bit-for-bit before
+# rounding.  The flag derivation and the per-pattern m/u products are
+# rendered by ONE helper each (below) for all four FS oracles, so the
+# exact silent-drift hazard the column contract warns about — a flag
+# or product-order change applied to one copy — cannot occur.
+def _fs_flags_cte(packed: bool, carry: str = "") -> str:
+    """The flagged CTE over the shared pairs/keyed CTEs: the four FS
+    agreement flags as booleans f0..f3 (match/TF/waterfall oracles)
+    or packed directly into the pattern bigint (classify/queue)."""
+    if packed:
+        body = f"""CAST((CASE WHEN da.lang IS NOT DISTINCT FROM db.lang
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN da.source IS NOT DISTINCT FROM db.source
+                          THEN 2 ELSE 0 END)
+                  + (CASE WHEN da.n_chars // {_FS_BAND}
+                               = db.n_chars // {_FS_BAND}
+                          THEN 4 ELSE 0 END)
+                  + (CASE WHEN da.pfx = db.pfx THEN 8 ELSE 0 END)
+                 AS BIGINT) AS pattern"""
+    else:
+        body = f"""(da.lang IS NOT DISTINCT FROM db.lang) AS f0,
+               (da.source IS NOT DISTINCT FROM db.source) AS f1,
+               (da.n_chars // {_FS_BAND} = db.n_chars // {_FS_BAND})
+                   AS f2,
+               (da.pfx = db.pfx) AS f3{carry}"""
+    return f"""flagged AS (
+        SELECT p.id_a, p.id_b,
+               {body}
+        FROM pairs p
+        JOIN keyed da ON p.id_a = da.doc_id
+        JOIN keyed db ON p.id_b = db.doc_id
+    )"""
+
+
+# pattern -> packed-bit select expression (the boolean-flag variant's
+# final projection, shared by the match/TF and waterfall oracles)
+_FS_PACK_SQL = """CAST((CASE WHEN f0 THEN 1 ELSE 0 END)
+              + (CASE WHEN f1 THEN 2 ELSE 0 END)
+              + (CASE WHEN f2 THEN 4 ELSE 0 END)
+              + (CASE WHEN f3 THEN 8 ELSE 0 END) AS BIGINT)"""
+
+
+def _fs_field_factors() -> tuple:
+    """Per-field (m-factor, u-factor) CASE terms over a pattern
+    literal ``pat`` — the single source for every pattern-space
+    product (classify/queue mp/up and the queue's lam-weighted
+    posterior)."""
+    fms, fus = [], []
+    for i in range(_FS_N_FIELDS):
+        sel_m = f"(SELECT m FROM fsp WHERE field_id = {i})"
+        sel_u = f"(SELECT u FROM fsp WHERE field_id = {i})"
+        fms.append(f"CASE WHEN pat & {1 << i} <> 0 THEN {sel_m} "
+                   f"ELSE 1 - {sel_m} END")
+        fus.append(f"CASE WHEN pat & {1 << i} <> 0 THEN {sel_u} "
+                   f"ELSE 1 - {sel_u} END")
+    return fms, fus
+
+
+def _fs_pattern_products() -> tuple:
+    """(mp, up) expressions: the left-to-right products of the
+    per-field m/u factors used by the classify and review-queue
+    oracles' 16-row probs CTE."""
+    mp_expr, up_expr = "", ""
+    for i, (fm, fu) in enumerate(zip(*_fs_field_factors())):
+        mp_expr = fm if i == 0 else f"({mp_expr} * {fm})"
+        up_expr = fu if i == 0 else f"({up_expr} * {fu})"
+    return mp_expr, up_expr
+
+
+# ONE builder generates both the plain and the TF-adjusted variant so
+# the SNM derivation, flag expressions, and product order cannot drift
+# between them; the TF variant swaps the u-side factor on the two
+# categorical fields for the shared value's recomputed corpus
+# frequency and joins the frequency CTEs.
 def _sql_fs(tf: bool) -> str:
     pm = "(SELECT lam FROM fsp WHERE field_id = 0)"
     pu = "(1 - (SELECT lam FROM fsp WHERE field_id = 0))"
@@ -590,34 +687,10 @@ def _sql_fs(tf: bool) -> str:
     return f"""
     WITH fsp AS (SELECT field_id, m, u, lam
                  FROM read_parquet('{_FS_PARAMS_PATH}/*.parquet')),
-    keyed AS (
-        SELECT doc_id, lang, source, n_chars,
-               substr(replace(text, ' ', ''), 1, 12) AS pfx
-        FROM documents
-    ), ranked AS (
-        SELECT doc_id, row_number() OVER (ORDER BY pfx, doc_id) AS rnk
-        FROM keyed
-    ), pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM ranked a JOIN ranked b
-          ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
-    ){freq_ctes}, flagged AS (
-        SELECT p.id_a, p.id_b,
-               (da.lang IS NOT DISTINCT FROM db.lang) AS f0,
-               (da.source IS NOT DISTINCT FROM db.source) AS f1,
-               (da.n_chars // {_FS_BAND} = db.n_chars // {_FS_BAND})
-                   AS f2,
-               (da.pfx = db.pfx) AS f3{carry}
-        FROM pairs p
-        JOIN keyed da ON p.id_a = da.doc_id
-        JOIN keyed db ON p.id_b = db.doc_id
-    )
+    {_snm_ctes(attrs=True)}{freq_ctes}, {_fs_flags_cte(False, carry)}
     SELECT CAST(fl.id_a AS BIGINT) AS id_a,
            CAST(fl.id_b AS BIGINT) AS id_b,
-           CAST((CASE WHEN f0 THEN 1 ELSE 0 END)
-              + (CASE WHEN f1 THEN 2 ELSE 0 END)
-              + (CASE WHEN f2 THEN 4 ELSE 0 END)
-              + (CASE WHEN f3 THEN 8 ELSE 0 END) AS BIGINT) AS pattern,
+           {_FS_PACK_SQL} AS pattern,
            round({pm} / ({pm} + {pu}), 6) AS {post_col},
            CAST({pm} / ({pm} + {pu}) >= 0.5 AS BIGINT) AS is_match
     FROM {src}
@@ -674,45 +747,11 @@ def _sql_fs_classify() -> str:
     non-link frontiers as windowed running sums in (ratio DESC,
     pattern ASC) order — the sequential order fs_decision_table
     accumulates in, so the raw-double threshold comparisons agree."""
-    mp_expr, up_expr = "", ""
-    for i in range(_FS_N_FIELDS):
-        sel_m = f"(SELECT m FROM fsp WHERE field_id = {i})"
-        sel_u = f"(SELECT u FROM fsp WHERE field_id = {i})"
-        fm = (f"CASE WHEN pat & {1 << i} <> 0 THEN {sel_m} "
-              f"ELSE 1 - {sel_m} END")
-        fu = (f"CASE WHEN pat & {1 << i} <> 0 THEN {sel_u} "
-              f"ELSE 1 - {sel_u} END")
-        mp_expr = fm if i == 0 else f"({mp_expr} * {fm})"
-        up_expr = fu if i == 0 else f"({up_expr} * {fu})"
+    mp_expr, up_expr = _fs_pattern_products()
     return f"""
     WITH fsp AS (SELECT field_id, m, u, lam
                  FROM read_parquet('{_FS_PARAMS_PATH}/*.parquet')),
-    keyed AS (
-        SELECT doc_id, lang, source, n_chars,
-               substr(replace(text, ' ', ''), 1, 12) AS pfx
-        FROM documents
-    ), ranked AS (
-        SELECT doc_id, row_number() OVER (ORDER BY pfx, doc_id) AS rnk
-        FROM keyed
-    ), pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM ranked a JOIN ranked b
-          ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
-    ), flagged AS (
-        SELECT p.id_a, p.id_b,
-               CAST((CASE WHEN da.lang IS NOT DISTINCT FROM db.lang
-                          THEN 1 ELSE 0 END)
-                  + (CASE WHEN da.source IS NOT DISTINCT FROM db.source
-                          THEN 2 ELSE 0 END)
-                  + (CASE WHEN da.n_chars // {_FS_BAND}
-                               = db.n_chars // {_FS_BAND}
-                          THEN 4 ELSE 0 END)
-                  + (CASE WHEN da.pfx = db.pfx THEN 8 ELSE 0 END)
-                 AS BIGINT) AS pattern
-        FROM pairs p
-        JOIN keyed da ON p.id_a = da.doc_id
-        JOIN keyed db ON p.id_b = db.doc_id
-    ), probs AS (
+    {_snm_ctes(attrs=True)}, {_fs_flags_cte(True)}, probs AS (
         SELECT CAST(range AS BIGINT) AS pat,
                {mp_expr} AS mp,
                {up_expr} AS up
@@ -786,34 +825,10 @@ def _sql_fs_waterfall() -> str:
     return f"""
     WITH fsp AS (SELECT field_id, m, u, lam
                  FROM read_parquet('{_FS_PARAMS_PATH}/*.parquet')),
-    keyed AS (
-        SELECT doc_id, lang, source, n_chars,
-               substr(replace(text, ' ', ''), 1, 12) AS pfx
-        FROM documents
-    ), ranked AS (
-        SELECT doc_id, row_number() OVER (ORDER BY pfx, doc_id) AS rnk
-        FROM keyed
-    ), pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM ranked a JOIN ranked b
-          ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
-    ), flagged AS (
-        SELECT p.id_a, p.id_b,
-               (da.lang IS NOT DISTINCT FROM db.lang) AS f0,
-               (da.source IS NOT DISTINCT FROM db.source) AS f1,
-               (da.n_chars // {_FS_BAND} = db.n_chars // {_FS_BAND})
-                   AS f2,
-               (da.pfx = db.pfx) AS f3
-        FROM pairs p
-        JOIN keyed da ON p.id_a = da.doc_id
-        JOIN keyed db ON p.id_b = db.doc_id
-    )
+    {_snm_ctes(attrs=True)}, {_fs_flags_cte(False)}
     SELECT CAST(id_a AS BIGINT) AS id_a,
            CAST(id_b AS BIGINT) AS id_b,
-           CAST((CASE WHEN f0 THEN 1 ELSE 0 END)
-              + (CASE WHEN f1 THEN 2 ELSE 0 END)
-              + (CASE WHEN f2 THEN 4 ELSE 0 END)
-              + (CASE WHEN f3 THEN 8 ELSE 0 END) AS BIGINT) AS pattern,
+           {_FS_PACK_SQL} AS pattern,
            {', '.join(bf_sel)},
            round({odds}, 6) AS odds_r
     FROM flagged
@@ -880,47 +895,14 @@ def _sql_fs_review_queue() -> str:
     total order."""
     lam_sel = "(SELECT lam FROM fsp WHERE field_id = 0)"
     pm, pu = lam_sel, f"(1 - {lam_sel})"
-    mp_expr, up_expr = "", ""
-    for i in range(_FS_N_FIELDS):
-        sel_m = f"(SELECT m FROM fsp WHERE field_id = {i})"
-        sel_u = f"(SELECT u FROM fsp WHERE field_id = {i})"
-        fm = (f"CASE WHEN pat & {1 << i} <> 0 THEN {sel_m} "
-              f"ELSE 1 - {sel_m} END")
-        fu = (f"CASE WHEN pat & {1 << i} <> 0 THEN {sel_u} "
-              f"ELSE 1 - {sel_u} END")
-        mp_expr = fm if i == 0 else f"({mp_expr} * {fm})"
-        up_expr = fu if i == 0 else f"({up_expr} * {fu})"
+    for fm, fu in zip(*_fs_field_factors()):
         pm = f"({pm} * {fm})"
         pu = f"({pu} * {fu})"
+    mp_expr, up_expr = _fs_pattern_products()
     return f"""
     WITH fsp AS (SELECT field_id, m, u, lam
                  FROM read_parquet('{_FS_PARAMS_PATH}/*.parquet')),
-    keyed AS (
-        SELECT doc_id, lang, source, n_chars,
-               substr(replace(text, ' ', ''), 1, 12) AS pfx
-        FROM documents
-    ), ranked AS (
-        SELECT doc_id, row_number() OVER (ORDER BY pfx, doc_id) AS rnk
-        FROM keyed
-    ), pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM ranked a JOIN ranked b
-          ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
-    ), flagged AS (
-        SELECT p.id_a, p.id_b,
-               CAST((CASE WHEN da.lang IS NOT DISTINCT FROM db.lang
-                          THEN 1 ELSE 0 END)
-                  + (CASE WHEN da.source IS NOT DISTINCT FROM db.source
-                          THEN 2 ELSE 0 END)
-                  + (CASE WHEN da.n_chars // {_FS_BAND}
-                               = db.n_chars // {_FS_BAND}
-                          THEN 4 ELSE 0 END)
-                  + (CASE WHEN da.pfx = db.pfx THEN 8 ELSE 0 END)
-                 AS BIGINT) AS pattern
-        FROM pairs p
-        JOIN keyed da ON p.id_a = da.doc_id
-        JOIN keyed db ON p.id_b = db.doc_id
-    ), probs AS (
+    {_snm_ctes(attrs=True)}, {_fs_flags_cte(True)}, probs AS (
         SELECT CAST(range AS BIGINT) AS pat,
                {mp_expr} AS mp,
                {up_expr} AS up,
@@ -981,7 +963,7 @@ def multi_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero-padded ids: candidate_pairs normalizes with least/greatest
     # on STRINGS; padding makes that lexicographic order numeric
     pad_id = F.lpad(F.col("doc_id").cast("string"), 12, "0")
-    pfx = F.substring(F.translate(F.col("text"), " ", ""), 1, 12)
+    pfx = _snm_prefix_key()
 
     keyed = docs.select(F.col("doc_id").alias("rec_id"),
                         pfx.alias("snm_key"))
@@ -1036,20 +1018,11 @@ def multi_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_multi_blocking() -> str:
     return f"""
     WITH mhb AS ({_sql_minhash_blocks()}),
-    keyed AS (
-        SELECT doc_id,
-               substr(replace(text, ' ', ''), 1, 12) AS snm_key
-        FROM documents
-    ), ranked AS (
-        SELECT doc_id,
-               row_number() OVER (ORDER BY snm_key, doc_id) AS rnk
-        FROM keyed
-    ), snm AS (
+    {_snm_ctes()}, snm AS (
         -- rank-ordered co-window pairs, normalized to (min, max) id
-        SELECT least(a.doc_id, b.doc_id) AS id_a,
-               greatest(a.doc_id, b.doc_id) AS id_b
-        FROM ranked a JOIN ranked b
-          ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_WINDOW - 1}
+        SELECT least(id_a, id_b) AS id_a,
+               greatest(id_a, id_b) AS id_b
+        FROM pairs
     ), mh AS (
         SELECT DISTINCT CAST(a.conv_id AS BIGINT) AS id_a,
                         CAST(b.conv_id AS BIGINT) AS id_b
@@ -3526,12 +3499,16 @@ def linkage_eval_small(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.substring_index("conv_id", "_", 1).alias("truth_id"))
              .agg(F.count(F.lit(1)).alias("n"))
              .localCheckpoint(eager=False))
+    # coalesce: with zero cells sum() is NULL; the oracle coalesces
+    # to 0, so an empty assignment table must not hash-diverge
     half = "s * (s - 1) div 2"
-    tp = cells.agg(F.sum(F.expr("n * (n - 1) div 2")).alias("tp"))
+    zero = F.lit(0).cast("bigint")
+    tp = cells.agg(F.coalesce(F.sum(F.expr("n * (n - 1) div 2")), zero)
+                   .alias("tp"))
     pp = (cells.groupBy("cluster_id").agg(F.sum("n").alias("s"))
-          .agg(F.sum(F.expr(half)).alias("pp")))
+          .agg(F.coalesce(F.sum(F.expr(half)), zero).alias("pp")))
     tt = (cells.groupBy("truth_id").agg(F.sum("n").alias("s"))
-          .agg(F.sum(F.expr(half)).alias("tpp")))
+          .agg(F.coalesce(F.sum(F.expr(half)), zero).alias("tpp")))
     j = tp.crossJoin(pp).crossJoin(tt)
     tp_c, pp_c, tt_c = F.col("tp"), F.col("pp"), F.col("tpp")
     return j.select(

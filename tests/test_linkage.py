@@ -200,8 +200,20 @@ def test_fs_decision_table_semantics():
     assert ratios == sorted(ratios, reverse=True)
     decs = [by_pat[p][1] for p in (3, 1, 2, 0)]
     assert decs == sorted(decs, reverse=True)
-    # error bounds actually bound: u-mass of linked, m-mass of non-linked
-    assert sum(0.1 * 0.2 for p in (3,) ) <= 0.05
+    # error bounds actually bound — computed from the table's OWN
+    # decisions, not hand-inlined constants: the accumulated u-mass
+    # of the LINK region stays <= mu and the m-mass of the NON-LINK
+    # region stays <= lam_err
+    def mass(pat, probs):
+        v = 1.0
+        for i, p in enumerate(probs):
+            v *= p if (pat >> i) & 1 else 1.0 - p
+        return v
+    linked = [p for p, _, d in table if d == 2]
+    nonlinked = [p for p, _, d in table if d == 0]
+    assert linked and nonlinked
+    assert sum(mass(p, u) for p in linked) <= 0.05
+    assert sum(mass(p, m) for p in nonlinked) <= 0.05
     # widening the bounds widens the regions monotonically
     loose = {p: d for p, _, d in
              fs_decision_table(m, u, 2, mu=0.15, lam_err=0.15)}
@@ -230,7 +242,11 @@ def test_fs_classify_contract_consistency(spark):
     assert decs == {0, 1, 2}
     by_dec = {d: [r["lr_ratio_r"] for r in cls.values()
                   if r["decision"] == d] for d in (0, 1, 2)}
-    assert min(by_dec[2]) >= max(by_dec[1]) >= max(by_dec[0])
+    # full region separation: every link ratio >= every clerical
+    # ratio >= every non-link ratio (min-vs-max on BOTH boundaries —
+    # max-vs-max would let a low clerical ratio hide under a high one)
+    assert min(by_dec[2]) >= max(by_dec[1])
+    assert min(by_dec[1]) >= max(by_dec[0])
     # posterior >= 0.5 implies ratio >= (1-lam)/lam >> any clerical
     # ratio on this fixture: matched pairs never land in NON-LINK
     for k, r in cls.items():

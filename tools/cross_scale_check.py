@@ -120,16 +120,23 @@ def build_overrides(spark, sf_dir):
     # sampled check reads it back with the stratum filter (both sides
     # are Spark-derived, so the reread loses no independence), and
     # the cluster certificates project id_a/id_b from the same table.
+    # ONE constant per certificate table: every reader below
+    # (writer, read-backs, the audit projection) derives from it,
+    # so a path change cannot leave a stale second copy behind
+    event_edges_pq = f"{DATA}/xs_event_edges.parquet"
+    doc_edges_pq = f"{DATA}/xs_doc_edges.parquet"
+    training_edges_pq = f"{DATA}/xs_training_edges.parquet"
+
     def _edge_sql(key: str, path: str) -> str:
         if key not in edge_sql_cache:
             edge_sql_cache[key] = _write_edges(produce[key](), path)
         return edge_sql_cache[key]
 
     def match_edge_sql() -> str:
-        return _edge_sql("events", f"{DATA}/xs_event_edges.parquet")
+        return _edge_sql("events", event_edges_pq)
 
     def doc_edge_sql() -> str:
-        return _edge_sql("docs", f"{DATA}/xs_doc_edges.parquet")
+        return _edge_sql("docs", doc_edges_pq)
 
     def doc_edge_sql_full() -> str:
         # cluster_audit's oracle needs the exact-Jaccard counts too;
@@ -137,11 +144,10 @@ def build_overrides(spark, sf_dir):
         # only the projection differs from doc_edge_sql()
         doc_edge_sql()
         return ("SELECT id_a, id_b, inter_count, union_count FROM "
-                f"read_parquet('{DATA}/xs_doc_edges.parquet/*.parquet')")
+                f"read_parquet('{doc_edges_pq}/*.parquet')")
 
     def training_edge_sql() -> str:
-        return _edge_sql("training",
-                         f"{DATA}/xs_training_edges.parquet")
+        return _edge_sql("training", training_edges_pq)
 
     sampled = f"sampled {STRATUM} stratum"
     over = {
@@ -153,14 +159,14 @@ def build_overrides(spark, sf_dir):
             sampled),
         "match_edges": (
             lambda: _read_back(spark, match_edge_sql,
-                               f"{DATA}/xs_event_edges.parquet",
+                               event_edges_pq,
                                produce["events"])
                     .where(_stratum_col()),
             lambda: dc._sql_edges(_stratum_sql("p.id_a", "p.id_b")),
             sampled),
         "doc_minhash_neardup": (
             lambda: _read_back(spark, doc_edge_sql,
-                               f"{DATA}/xs_doc_edges.parquet",
+                               doc_edges_pq,
                                produce["docs"])
                     .where(_stratum_col()),
             lambda: dc._sql_minhash_neardup(
@@ -203,7 +209,7 @@ def build_overrides(spark, sf_dir):
         # (recomputed fresh under XS_FRESH=1).
         "training_edges_sampled": (
             lambda: _read_back(spark, training_edge_sql,
-                               f"{DATA}/xs_training_edges.parquet",
+                               training_edges_pq,
                                produce["training"])
                     .where(_stratum_col()),
             lambda: f"""
