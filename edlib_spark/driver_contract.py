@@ -1048,6 +1048,60 @@ def _sql_multi_blocking() -> str:
 """
 
 
+def meta_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """META-BLOCKING weighted node pruning (Papadakis et al., TKDE
+    2014) over the multi-pass blocking graph: edge weight = n_rules
+    (how many independent blocking rules proposed the pair — the CBS
+    weighting scheme with rules standing in for blocks), each node
+    keeps edges whose weight reaches its own mean incident weight, and
+    an edge survives if EITHER endpoint keeps it.  This is the
+    block-cleaning step between blocking and the pairwise scorer: it
+    drops the long tail of single-weak-rule pairs per-node-adaptively,
+    with NO global threshold to tune and no rule's exclusive coverage
+    wiped wholesale.
+
+    Purely bigint arithmetic end-to-end (w * deg >= sum_w, never a
+    division), so the oracle re-derives the blocking union, the
+    per-node stats, and every kept edge exactly.  Scale shape: the
+    blocking graph is pinned once (localCheckpoint — stats + the two
+    attach joins must not re-run the three blocking rules), stats are
+    one map-side-combined groupBy over 2|E| skinny rows, and the
+    attach is two equi-joins of the O(n) stats table
+    (operators/blocking.py weighted_node_prune)."""
+    from .operators.blocking import weighted_node_prune
+    mb = multi_blocking_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    return weighted_node_prune(mb, weight_col="n_rules")
+
+
+# Oracle: the full multi-pass blocking union re-derived by its own
+# oracle, then the WNP rule in three CTEs — integer cross-multiplied
+# thresholds, no doubles anywhere.
+def _sql_meta_blocking() -> str:
+    return f"""
+    WITH mb AS ({_sql_multi_blocking()}),
+    incid AS (
+        SELECT id_a AS node, n_rules AS w FROM mb
+        UNION ALL
+        SELECT id_b AS node, n_rules AS w FROM mb
+    ), stats AS (
+        SELECT node, count(*) AS deg, sum(w) AS sw
+        FROM incid GROUP BY node
+    )
+    SELECT CAST(mb.id_a AS BIGINT) AS id_a,
+           CAST(mb.id_b AS BIGINT) AS id_b,
+           CAST(mb.n_rules AS BIGINT) AS weight,
+           CAST((CASE WHEN mb.n_rules * sa.deg >= sa.sw
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN mb.n_rules * sb.deg >= sb.sw
+                      THEN 2 ELSE 0 END) AS BIGINT) AS retained_by
+    FROM mb
+    JOIN stats sa ON sa.node = mb.id_a
+    JOIN stats sb ON sb.node = mb.id_b
+    WHERE mb.n_rules * sa.deg >= sa.sw
+       OR mb.n_rules * sb.deg >= sb.sw
+"""
+
+
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: tokens = spaces + 1 (documents are space-joined
     word sequences) — pure arithmetic, identical in SQL."""
@@ -3765,6 +3819,7 @@ def build_queries():
         "fs_tf_match_documents": fs_tf_match_documents,
         "fs_classify_documents": fs_classify_documents,
         "multi_blocking_pairs": multi_blocking_pairs,
+        "meta_blocking_pairs": meta_blocking_pairs,
         "fs_waterfall_documents": fs_waterfall_documents,
         "fs_review_queue_documents": fs_review_queue_documents,
         "cluster_audit_documents": cluster_audit_documents,
@@ -3799,6 +3854,7 @@ def build_oracle_sql():
         "fs_tf_match_documents": _sql_fs(tf=True),
         "fs_classify_documents": _sql_fs_classify(),
         "multi_blocking_pairs": _sql_multi_blocking(),
+        "meta_blocking_pairs": _sql_meta_blocking(),
         "fs_waterfall_documents": _sql_fs_waterfall(),
         "fs_review_queue_documents": _sql_fs_review_queue(),
         "cluster_audit_documents": _SQL_CLUSTER_AUDIT,

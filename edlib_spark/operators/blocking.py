@@ -210,6 +210,65 @@ def sorted_neighborhood_pairs(df: DataFrame, key_col: str, id_col: str,
                     .cast("bigint").alias("rank_gap")))
 
 
+def weighted_node_prune(edges: DataFrame,
+                        weight_col: str = "weight") -> DataFrame:
+    """Meta-blocking WEIGHTED NODE PRUNING (Papadakis et al.,
+    "Meta-Blocking: Taking Entity Resolution to the Next Level",
+    TKDE 2014): treat the blocking output as a graph whose edge weight
+    is the co-occurrence evidence (how many blocks / blocking rules
+    proposed the pair), compute each node's mean incident weight, and
+    keep an edge iff its weight reaches the mean of AT LEAST ONE
+    endpoint — the redundancy-positive WNP variant, the block-cleaning
+    step production ER runs between blocking and the pairwise scorer.
+
+    Why it matters at 100 TB: multi-pass blocking keeps recall by
+    OR-ing rules, which drags in a long tail of pairs proposed by a
+    single weak rule; WNP drops that tail with integer arithmetic
+    BEFORE the expensive scorer touches it, per-node-adaptively rather
+    than via a global weight cutoff (a uniform ``weight >= 2`` would
+    blind every rule's exclusive coverage at once — exactly what
+    multi-pass blocking exists to avoid).
+
+    Purely integer math: ``w >= sum_w / deg`` is evaluated as
+    ``w * deg >= sum_w`` in bigint cross-multiplication — no doubles,
+    so an independent SQL engine re-derives every kept edge exactly.
+    Each node retains at least its maximum-weight edge (w_max is >=
+    the mean by definition), so no record is ever isolated by pruning.
+
+    Scale shape: one map-side-combined groupBy over the 2|E| skinny
+    (node, weight) rows for the per-node stats, then two equi-joins of
+    the O(n)-row stats table back to the edge list — broadcastable
+    while the node table fits, AQE shuffle joins beyond; nothing
+    quadratic, no windows, no driver state.
+
+    Returns (id_a, id_b, weight, retained_by) where retained_by is
+    the endpoint bitmask (1 = a's threshold passed, 2 = b's,
+    3 = both); only surviving edges are emitted.
+    """
+    e = edges.select(F.col("id_a"), F.col("id_b"),
+                     F.col(weight_col).cast("bigint").alias("weight"))
+    incid = (e.select(F.col("id_a").alias("node"), "weight")
+             .unionByName(e.select(F.col("id_b").alias("node"), "weight")))
+    stats = (incid.groupBy("node")
+             .agg(F.count(F.lit(1)).alias("deg"),
+                  F.sum("weight").alias("sw")))
+    sa = stats.select(F.col("node").alias("_na"),
+                      F.col("deg").alias("_deg_a"),
+                      F.col("sw").alias("_sw_a"))
+    sb = stats.select(F.col("node").alias("_nb"),
+                      F.col("deg").alias("_deg_b"),
+                      F.col("sw").alias("_sw_b"))
+    keep_a = F.col("weight") * F.col("_deg_a") >= F.col("_sw_a")
+    keep_b = F.col("weight") * F.col("_deg_b") >= F.col("_sw_b")
+    return (e.join(sa, F.col("id_a") == F.col("_na"))
+            .join(sb, F.col("id_b") == F.col("_nb"))
+            .where(keep_a | keep_b)
+            .select("id_a", "id_b", "weight",
+                    (F.when(keep_a, F.lit(1)).otherwise(F.lit(0))
+                     + F.when(keep_b, F.lit(2)).otherwise(F.lit(0)))
+                    .cast("bigint").alias("retained_by")))
+
+
 def all_blocks(canon: DataFrame, tau: float = 0.2, use_minhash: bool = True,
                num_hashes: int = 16, bands: int = 4,
                ngram: int = 5) -> DataFrame:

@@ -339,3 +339,34 @@ def test_fs_review_queue_semantics(spark):
             <= 2e-6, r
     keys = [(r["ambiguity_r"], r["id_a"], r["id_b"]) for r in q]
     assert keys == sorted(keys)
+
+
+def test_meta_blocking_wnp_semantics(spark):
+    """Meta-blocking WNP on sf0.001: the retention law re-derived
+    independently in Python over the full blocking graph (kept set,
+    weights, and retained_by bitmasks all equal), pruning actually
+    drops a weak tail, and no node is isolated (each keeps at least
+    its max-weight edge, which is >= its own mean by definition)."""
+    from edlib_spark.driver_contract import (meta_blocking_pairs,
+                                             multi_blocking_pairs)
+    sf = "/root/testdata/sf0.001"
+    full = [(r["id_a"], r["id_b"], r["n_rules"])
+            for r in multi_blocking_pairs(spark, sf).collect()]
+    deg, sw = {}, {}
+    for a, b, w in full:
+        for n in (a, b):
+            deg[n] = deg.get(n, 0) + 1
+            sw[n] = sw.get(n, 0) + w
+    expect = {}
+    for a, b, w in full:
+        mask = ((1 if w * deg[a] >= sw[a] else 0)
+                | (2 if w * deg[b] >= sw[b] else 0))
+        if mask:
+            expect[(a, b)] = (w, mask)
+    got = {(r["id_a"], r["id_b"]): (r["weight"], r["retained_by"])
+           for r in meta_blocking_pairs(spark, sf).collect()}
+    assert got == expect
+    assert 0 < len(got) < len(full)
+    # WNP never isolates a record: every node of the blocking graph
+    # still appears in some surviving edge
+    assert {n for ab in got for n in ab} == set(deg)
