@@ -1102,6 +1102,181 @@ def _sql_meta_blocking() -> str:
 """
 
 
+def meta_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit that justifies (or vetoes) meta-blocking: over the
+    UNPRUNED multi-pass blocking graph, flag every edge kept-vs-dropped
+    by weighted node pruning and true-vs-spurious by exact char-5-gram
+    Jaccard >= 0.8 (the dedup family's own match definition), then
+    aggregate to one row: candidates, kept, truth pairs reachable
+    through blocking, truth pairs surviving pruning, the kept fraction
+    (candidate-set shrink the scorer enjoys) and the truth retention
+    (recall WNP costs — the number that must stay 1.0 for pruning to
+    be free).  Truth is computed ONLY on blocking candidates — O(|E|)
+    Jaccard evaluations, never all-pairs — which is exactly the
+    quantity pruning can affect.
+
+    Scale shape: one graph pin (localCheckpoint), the O(n) stats
+    attach from weighted_node_prune(emit_all=True), two equi-joins of
+    the per-doc gram arrays, one map-side-combined global aggregate.
+    Counts are exact bigints; the two ratios are single divisions of
+    exact ints, so DuckDB reproduces them bit-for-bit."""
+    from .operators.blocking import weighted_node_prune
+    from .operators.dedup import char_ngram_set
+    mb = multi_blocking_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    flagged = weighted_node_prune(mb, weight_col="n_rules", emit_all=True)
+    docs = _read(spark, sf_dir, "documents")
+    grams = docs.select(F.col("doc_id").cast("bigint").alias("gid"),
+                        char_ngram_set(F.col("text"), 5).alias("g"))
+    ga = grams.select(F.col("gid").alias("id_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("gid").alias("id_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    # the size-ratio clauses are implied by J >= 0.8 (inter <= min
+    # size, union >= max size) — kept so the predicate is textually
+    # the prune-bearing oracle's, clause for clause
+    is_true = ((F.size("ga") * 100 >= 80 * F.size("gb"))
+               & (F.size("gb") * 100 >= 80 * F.size("ga"))
+               & (inter * 100 >= 80 * union))
+    kept = F.col("retained_by") > 0
+    t = (flagged.join(ga, "id_a").join(gb, "id_b")
+         .select(kept.alias("kept"), is_true.alias("is_true")))
+    agg = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.coalesce(F.sum(F.when(F.col("kept"), 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("n_kept"),
+        F.coalesce(F.sum(F.when(F.col("is_true"), 1).otherwise(0)),
+                   F.lit(0))
+        .cast("bigint").alias("n_truth"),
+        F.coalesce(F.sum(F.when(F.col("kept") & F.col("is_true"), 1)
+                         .otherwise(0)), F.lit(0))
+        .cast("bigint").alias("n_truth_kept"))
+    return agg.select(
+        "n_candidates", "n_kept", "n_truth", "n_truth_kept",
+        F.when(F.col("n_candidates") > 0,
+               F.col("n_kept") / F.col("n_candidates"))
+         .otherwise(F.lit(1.0)).alias("kept_fraction"),
+        F.when(F.col("n_truth") > 0,
+               F.col("n_truth_kept") / F.col("n_truth"))
+         .otherwise(F.lit(1.0)).alias("truth_retention"))
+
+
+# Oracle: the blocking union + WNP flags re-derived as in
+# _sql_meta_blocking (without the survivor filter), truth as the
+# neardup oracle's Jaccard predicate restricted to blocking candidates,
+# then the four exact counts and two guarded divisions.
+def _sql_meta_blocking_quality() -> str:
+    return f"""
+    WITH mb AS ({_sql_multi_blocking()}),
+    incid AS (
+        SELECT id_a AS node, n_rules AS w FROM mb
+        UNION ALL
+        SELECT id_b AS node, n_rules AS w FROM mb
+    ), stats AS (
+        SELECT node, count(*) AS deg, sum(w) AS sw
+        FROM incid GROUP BY node
+    ), sh AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   [text[i:i+4] FOR i IN
+                    range(1, greatest(length(text) - 4, 1) + 1)])) AS g
+        FROM documents
+    ), t AS (
+        SELECT (mb.n_rules * sa.deg >= sa.sw
+                OR mb.n_rules * sb.deg >= sb.sw) AS kept,
+               (len(ga.g) * 100 >= 80 * len(gb.g)
+                AND len(gb.g) * 100 >= 80 * len(ga.g)
+                AND len(list_intersect(ga.g, gb.g)) * 100
+                    >= 80 * len(list_distinct(list_concat(ga.g, gb.g))))
+                   AS is_true
+        FROM mb
+        JOIN stats sa ON sa.node = mb.id_a
+        JOIN stats sb ON sb.node = mb.id_b
+        JOIN sh ga ON ga.doc_id = mb.id_a
+        JOIN sh gb ON gb.doc_id = mb.id_b
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(coalesce(sum(CASE WHEN kept THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_kept,
+               CAST(coalesce(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_truth,
+               CAST(coalesce(sum(CASE WHEN kept AND is_true
+                                 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_truth_kept
+        FROM t)
+    SELECT n_candidates, n_kept, n_truth, n_truth_kept,
+           CASE WHEN n_candidates > 0
+                THEN CAST(n_kept AS DOUBLE) / n_candidates
+                ELSE 1.0 END AS kept_fraction,
+           CASE WHEN n_truth > 0
+                THEN CAST(n_truth_kept AS DOUBLE) / n_truth
+                ELSE 1.0 END AS truth_retention
+    FROM agg
+"""
+
+
+def block_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-size profiler over the key-based blocking rules (MinHash
+    LSH 16x4 and the structural lang x 64-char length band): for each
+    rule and block size s, how many blocks have that size and how much
+    pair mass (n_blocks * C(s,2)) they contribute.  This is the audit
+    a production ER run does BEFORE generating pairs — the pair mass
+    is the scorer's cost driver and the tail of this histogram is what
+    decides the hot-block salting threshold (operators/pairs.py): a
+    single boilerplate bucket of 10^6 members is 5*10^11 pairs on its
+    own, visible here as one row long before the shuffle that would
+    materialize it.
+
+    Scale shape: two scans, one groupBy per (rule, key) — map-side
+    combined, no joins, no pair materialization anywhere.  All exact
+    bigint arithmetic."""
+    _ensure_gram_hashes(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    pad_id = F.lpad(F.col("doc_id").cast("string"), 12, "0")
+    canon = docs.select(pad_id.alias("conv_id"),
+                        F.col("text").alias("full_text"))
+    mh = (minhash_blocks(canon, num_hashes=16, bands=4)
+          .select(F.lit("minhash").alias("rule"), "block_key"))
+    st = docs.select(
+        F.lit("structural").alias("rule"),
+        F.concat(F.lit("lb:"), F.coalesce(F.col("lang"), F.lit("\x00")),
+                 F.lit("|"),
+                 F.expr(f"n_chars div {_MB_BAND}").cast("string"))
+        .alias("block_key"))
+    sizes = (mh.unionByName(st)
+             .groupBy("rule", "block_key")
+             .agg(F.count(F.lit(1)).alias("s")))
+    return (sizes.groupBy("rule", F.col("s").cast("bigint")
+                          .alias("block_size"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+                 F.sum(F.expr("s * (s - 1) div 2")).cast("bigint")
+                 .alias("n_pairs")))
+
+
+# Oracle: LSH band keys from the shared gram-hash side table
+# (_sql_minhash_blocks), structural keys rebuilt from the raw
+# attributes with the same null sentinel, then the two grouped counts.
+def _sql_block_size_profile() -> str:
+    return f"""
+    WITH mhb AS ({_sql_minhash_blocks()}),
+    u AS (
+        SELECT 'minhash' AS rule, block_key FROM mhb
+        UNION ALL
+        SELECT 'structural',
+               'lb:' || coalesce(lang, chr(0)) || '|' ||
+               CAST(n_chars // {_MB_BAND} AS VARCHAR)
+        FROM documents
+    ), sizes AS (
+        SELECT rule, block_key, count(*) AS s
+        FROM u GROUP BY rule, block_key
+    )
+    SELECT rule,
+           CAST(s AS BIGINT) AS block_size,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(s * (s - 1) // 2) AS BIGINT) AS n_pairs
+    FROM sizes GROUP BY rule, s
+"""
+
+
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: tokens = spaces + 1 (documents are space-joined
     word sequences) — pure arithmetic, identical in SQL."""
@@ -3820,6 +3995,8 @@ def build_queries():
         "fs_classify_documents": fs_classify_documents,
         "multi_blocking_pairs": multi_blocking_pairs,
         "meta_blocking_pairs": meta_blocking_pairs,
+        "meta_blocking_quality": meta_blocking_quality,
+        "block_size_profile": block_size_profile,
         "fs_waterfall_documents": fs_waterfall_documents,
         "fs_review_queue_documents": fs_review_queue_documents,
         "cluster_audit_documents": cluster_audit_documents,
@@ -3855,6 +4032,8 @@ def build_oracle_sql():
         "fs_classify_documents": _sql_fs_classify(),
         "multi_blocking_pairs": _sql_multi_blocking(),
         "meta_blocking_pairs": _sql_meta_blocking(),
+        "meta_blocking_quality": _sql_meta_blocking_quality(),
+        "block_size_profile": _sql_block_size_profile(),
         "fs_waterfall_documents": _sql_fs_waterfall(),
         "fs_review_queue_documents": _sql_fs_review_queue(),
         "cluster_audit_documents": _SQL_CLUSTER_AUDIT,

@@ -211,7 +211,8 @@ def sorted_neighborhood_pairs(df: DataFrame, key_col: str, id_col: str,
 
 
 def weighted_node_prune(edges: DataFrame,
-                        weight_col: str = "weight") -> DataFrame:
+                        weight_col: str = "weight",
+                        emit_all: bool = False) -> DataFrame:
     """Meta-blocking WEIGHTED NODE PRUNING (Papadakis et al.,
     "Meta-Blocking: Taking Entity Resolution to the Next Level",
     TKDE 2014): treat the blocking output as a graph whose edge weight
@@ -243,7 +244,9 @@ def weighted_node_prune(edges: DataFrame,
 
     Returns (id_a, id_b, weight, retained_by) where retained_by is
     the endpoint bitmask (1 = a's threshold passed, 2 = b's,
-    3 = both); only surviving edges are emitted.
+    3 = both); only surviving edges are emitted unless ``emit_all``,
+    which keeps dropped edges too (retained_by = 0) so a quality
+    audit can compare kept vs dropped against ground truth.
     """
     e = edges.select(F.col("id_a"), F.col("id_b"),
                      F.col(weight_col).cast("bigint").alias("weight"))
@@ -260,13 +263,15 @@ def weighted_node_prune(edges: DataFrame,
                       F.col("sw").alias("_sw_b"))
     keep_a = F.col("weight") * F.col("_deg_a") >= F.col("_sw_a")
     keep_b = F.col("weight") * F.col("_deg_b") >= F.col("_sw_b")
-    return (e.join(sa, F.col("id_a") == F.col("_na"))
-            .join(sb, F.col("id_b") == F.col("_nb"))
-            .where(keep_a | keep_b)
-            .select("id_a", "id_b", "weight",
-                    (F.when(keep_a, F.lit(1)).otherwise(F.lit(0))
-                     + F.when(keep_b, F.lit(2)).otherwise(F.lit(0)))
-                    .cast("bigint").alias("retained_by")))
+    flagged = (e.join(sa, F.col("id_a") == F.col("_na"))
+               .join(sb, F.col("id_b") == F.col("_nb")))
+    if not emit_all:
+        flagged = flagged.where(keep_a | keep_b)
+    return flagged.select(
+        "id_a", "id_b", "weight",
+        (F.when(keep_a, F.lit(1)).otherwise(F.lit(0))
+         + F.when(keep_b, F.lit(2)).otherwise(F.lit(0)))
+        .cast("bigint").alias("retained_by"))
 
 
 def all_blocks(canon: DataFrame, tau: float = 0.2, use_minhash: bool = True,

@@ -370,3 +370,47 @@ def test_meta_blocking_wnp_semantics(spark):
     # WNP never isolates a record: every node of the blocking graph
     # still appears in some surviving edge
     assert {n for ab in got for n in ab} == set(deg)
+
+
+def test_meta_blocking_quality_semantics(spark):
+    """The WNP quality audit on sf0.001: counts re-derived from the
+    graded edge queries plus an independent Jaccard truth computation
+    (exact 5-gram sets in Python over the candidate pairs), the
+    emit_all=True operator surface equals the filtered one on the kept
+    slice, and — the number the audit exists for — pruning keeps every
+    Jaccard>=0.8 truth pair while dropping a real fraction of the
+    candidate set."""
+    from edlib_spark.driver_contract import (_read, meta_blocking_pairs,
+                                             meta_blocking_quality,
+                                             multi_blocking_pairs)
+    from edlib_spark.operators.blocking import weighted_node_prune
+    sf = "/root/testdata/sf0.001"
+    full = multi_blocking_pairs(spark, sf)
+    kept = {(r["id_a"], r["id_b"]): (r["weight"], r["retained_by"])
+            for r in meta_blocking_pairs(spark, sf).collect()}
+    flagged = {(r["id_a"], r["id_b"]): (r["weight"], r["retained_by"])
+               for r in weighted_node_prune(
+                   full, weight_col="n_rules", emit_all=True).collect()}
+    assert {k: v for k, v in flagged.items() if v[1] > 0} == kept
+
+    texts = {r["doc_id"]: r["text"]
+             for r in _read(spark, sf, "documents").collect()}
+
+    def g5(t):
+        return ({t[i:i + 5] for i in range(len(t) - 4)}
+                if len(t) >= 5 else {t})
+
+    n_truth = n_truth_kept = 0
+    for (a, b), (_, mask) in flagged.items():
+        sa, sb = g5(texts[a]), g5(texts[b])
+        if 100 * len(sa & sb) >= 80 * len(sa | sb):
+            n_truth += 1
+            n_truth_kept += mask > 0
+    row = meta_blocking_quality(spark, sf).collect()[0]
+    assert row["n_candidates"] == len(flagged)
+    assert row["n_kept"] == len(kept)
+    assert row["n_truth"] == n_truth
+    assert row["n_truth_kept"] == n_truth_kept
+    assert row["kept_fraction"] == len(kept) / len(flagged)
+    assert 0 < row["kept_fraction"] < 1
+    assert n_truth > 0 and row["truth_retention"] == 1.0
