@@ -937,7 +937,24 @@ def _sql_fs_review_queue() -> str:
 """
 
 
-_MB_BAND = 64  # structural rule: n_chars length-band width
+_MB_BAND = 64        # structural rule: n_chars length-band width
+_MB_MH_HASHES = 16   # LSH rule: MinHash signature length
+_MB_MH_BANDS = 4     # LSH rule: band count
+
+
+def _structural_block_key():
+    """The structural rule's block key, (lang, n_chars div band) with
+    a NUL sentinel for null lang — ONE definition shared by the
+    blocking union and the block-size profiler so the profiler can't
+    drift from the rule it audits (SQL twin: _SQL_STRUCTURAL_KEY)."""
+    return F.concat(F.lit("lb:"),
+                    F.coalesce(F.col("lang"), F.lit("\x00")),
+                    F.lit("|"),
+                    F.expr(f"n_chars div {_MB_BAND}").cast("string"))
+
+
+_SQL_STRUCTURAL_KEY = ("'lb:' || coalesce(lang, chr(0)) || '|' || "
+                       f"CAST(n_chars // {_MB_BAND} AS VARCHAR)")
 
 
 def multi_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -984,19 +1001,16 @@ def multi_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # times (size stats, the annotate join, then both pair roles), and
     # recomputing the gram-hash -> 16-permutation signatures per scan
     # dominated the union (measured 9.4 s -> ~4 s at sf0.1)
-    mh_blocks = (minhash_blocks(canon, num_hashes=16, bands=4)
+    mh_blocks = (minhash_blocks(canon, num_hashes=_MB_MH_HASHES,
+                                bands=_MB_MH_BANDS)
                  .localCheckpoint(eager=False))
     mh = (candidate_pairs(mh_blocks)
           .select(F.col("id_a").cast("bigint").alias("id_a"),
                   F.col("id_b").cast("bigint").alias("id_b"),
                   F.lit(2).alias("bit")))
 
-    st_blocks = docs.select(
-        pad_id.alias("conv_id"),
-        F.concat(F.lit("lb:"), F.coalesce(F.col("lang"), F.lit("\x00")),
-                 F.lit("|"),
-                 F.expr(f"n_chars div {_MB_BAND}").cast("string"))
-        .alias("block_key"))
+    st_blocks = docs.select(pad_id.alias("conv_id"),
+                            _structural_block_key().alias("block_key"))
     st = (candidate_pairs(st_blocks)
           .select(F.col("id_a").cast("bigint").alias("id_a"),
                   F.col("id_b").cast("bigint").alias("id_b"),
@@ -1073,32 +1087,41 @@ def meta_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_node_prune(mb, weight_col="n_rules")
 
 
-# Oracle: the full multi-pass blocking union re-derived by its own
-# oracle, then the WNP rule in three CTEs — integer cross-multiplied
-# thresholds, no doubles anywhere.
-def _sql_meta_blocking() -> str:
-    return f"""
-    WITH mb AS ({_sql_multi_blocking()}),
-    incid AS (
+# The WNP rule in SQL, shared by both oracles below so the prune query
+# and its quality audit cannot grade different semantics: per-node
+# stats over the incidence rows, then the integer cross-multiplied
+# keep predicate per endpoint (w >= sum_w/deg as w * deg >= sum_w).
+_SQL_WNP_STATS = """incid AS (
         SELECT id_a AS node, n_rules AS w FROM mb
         UNION ALL
         SELECT id_b AS node, n_rules AS w FROM mb
     ), stats AS (
         SELECT node, count(*) AS deg, sum(w) AS sw
         FROM incid GROUP BY node
-    )
+    )"""
+_WNP_KEEP_A = "mb.n_rules * sa.deg >= sa.sw"
+_WNP_KEEP_B = "mb.n_rules * sb.deg >= sb.sw"
+
+
+# Oracle: the full multi-pass blocking union re-derived by its own
+# oracle, then the WNP rule in three CTEs — integer cross-multiplied
+# thresholds, no doubles anywhere.
+def _sql_meta_blocking() -> str:
+    return f"""
+    WITH mb AS ({_sql_multi_blocking()}),
+    {_SQL_WNP_STATS}
     SELECT CAST(mb.id_a AS BIGINT) AS id_a,
            CAST(mb.id_b AS BIGINT) AS id_b,
            CAST(mb.n_rules AS BIGINT) AS weight,
-           CAST((CASE WHEN mb.n_rules * sa.deg >= sa.sw
+           CAST((CASE WHEN {_WNP_KEEP_A}
                       THEN 1 ELSE 0 END)
-              + (CASE WHEN mb.n_rules * sb.deg >= sb.sw
+              + (CASE WHEN {_WNP_KEEP_B}
                       THEN 2 ELSE 0 END) AS BIGINT) AS retained_by
     FROM mb
     JOIN stats sa ON sa.node = mb.id_a
     JOIN stats sb ON sb.node = mb.id_b
-    WHERE mb.n_rules * sa.deg >= sa.sw
-       OR mb.n_rules * sb.deg >= sb.sw
+    WHERE {_WNP_KEEP_A}
+       OR {_WNP_KEEP_B}
 """
 
 
@@ -1167,22 +1190,15 @@ def meta_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_meta_blocking_quality() -> str:
     return f"""
     WITH mb AS ({_sql_multi_blocking()}),
-    incid AS (
-        SELECT id_a AS node, n_rules AS w FROM mb
-        UNION ALL
-        SELECT id_b AS node, n_rules AS w FROM mb
-    ), stats AS (
-        SELECT node, count(*) AS deg, sum(w) AS sw
-        FROM incid GROUP BY node
-    ), sh AS (
+    {_SQL_WNP_STATS}, sh AS (
         SELECT doc_id,
                list_sort(list_distinct(
                    [text[i:i+4] FOR i IN
                     range(1, greatest(length(text) - 4, 1) + 1)])) AS g
         FROM documents
     ), t AS (
-        SELECT (mb.n_rules * sa.deg >= sa.sw
-                OR mb.n_rules * sb.deg >= sb.sw) AS kept,
+        SELECT ({_WNP_KEEP_A}
+                OR {_WNP_KEEP_B}) AS kept,
                (len(ga.g) * 100 >= 80 * len(gb.g)
                 AND len(gb.g) * 100 >= 80 * len(ga.g)
                 AND len(list_intersect(ga.g, gb.g)) * 100
@@ -1231,17 +1247,16 @@ def block_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint arithmetic."""
     _ensure_gram_hashes(spark, sf_dir)
     docs = _read(spark, sf_dir, "documents")
-    pad_id = F.lpad(F.col("doc_id").cast("string"), 12, "0")
-    canon = docs.select(pad_id.alias("conv_id"),
+    # no id padding here: block keys don't depend on the id and this
+    # query never forms pairs (multi_blocking_pairs pads only because
+    # candidate_pairs normalizes with least/greatest on strings)
+    canon = docs.select(F.col("doc_id").cast("string").alias("conv_id"),
                         F.col("text").alias("full_text"))
-    mh = (minhash_blocks(canon, num_hashes=16, bands=4)
+    mh = (minhash_blocks(canon, num_hashes=_MB_MH_HASHES,
+                         bands=_MB_MH_BANDS)
           .select(F.lit("minhash").alias("rule"), "block_key"))
-    st = docs.select(
-        F.lit("structural").alias("rule"),
-        F.concat(F.lit("lb:"), F.coalesce(F.col("lang"), F.lit("\x00")),
-                 F.lit("|"),
-                 F.expr(f"n_chars div {_MB_BAND}").cast("string"))
-        .alias("block_key"))
+    st = docs.select(F.lit("structural").alias("rule"),
+                     _structural_block_key().alias("block_key"))
     sizes = (mh.unionByName(st)
              .groupBy("rule", "block_key")
              .agg(F.count(F.lit(1)).alias("s")))
@@ -1261,9 +1276,7 @@ def _sql_block_size_profile() -> str:
     u AS (
         SELECT 'minhash' AS rule, block_key FROM mhb
         UNION ALL
-        SELECT 'structural',
-               'lb:' || coalesce(lang, chr(0)) || '|' ||
-               CAST(n_chars // {_MB_BAND} AS VARCHAR)
+        SELECT 'structural', {_SQL_STRUCTURAL_KEY}
         FROM documents
     ), sizes AS (
         SELECT rule, block_key, count(*) AS s
@@ -2720,9 +2733,11 @@ def _sql_minhash_blocks() -> str:
     free key encoding."""
     from .operators.blocking import _P, _minhash_coeffs
 
-    coeffs = _minhash_coeffs(16, 42)
+    coeffs = _minhash_coeffs(_MB_MH_HASHES, 42)
     coef_rows = ", ".join(f"({i}, {a}, {b})"
                           for i, (a, b) in enumerate(coeffs))
+    rows = _MB_MH_HASHES // _MB_MH_BANDS
+    band_vals = ", ".join(f"({i})" for i in range(_MB_MH_BANDS))
     return f"""
     WITH gh AS (SELECT conv_id, h
                 FROM read_parquet('{_GRAM_HASHES_PATH}/*.parquet')),
@@ -2735,11 +2750,11 @@ def _sql_minhash_blocks() -> str:
         GROUP BY gh.conv_id, c.i),
     sig AS (SELECT conv_id, list(mv ORDER BY i) AS sg
             FROM mins GROUP BY conv_id),
-    bands(bi) AS (VALUES (0), (1), (2), (3))
+    bands(bi) AS (VALUES {band_vals})
     SELECT conv_id,
            'mh' || bi || ':' ||
            array_to_string(list_transform(
-               list_slice(sg, bi * 4 + 1, bi * 4 + 4),
+               list_slice(sg, bi * {rows} + 1, bi * {rows} + {rows}),
                x -> CAST(x AS VARCHAR)), ',') AS block_key
     FROM sig CROSS JOIN bands
     """
@@ -2753,7 +2768,8 @@ def minhash_blocks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     canon = docs.select(F.col("doc_id").cast("string").alias("conv_id"),
                         F.col("text").alias("full_text"))
-    return minhash_blocks(canon, num_hashes=16, bands=4)
+    return minhash_blocks(canon, num_hashes=_MB_MH_HASHES,
+                          bands=_MB_MH_BANDS)
 
 
 # ---------------------------------------------------------------------------
