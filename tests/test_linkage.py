@@ -414,3 +414,30 @@ def test_meta_blocking_quality_semantics(spark):
     assert row["kept_fraction"] == len(kept) / len(flagged)
     assert 0 < row["kept_fraction"] < 1
     assert n_truth > 0 and row["truth_retention"] == 1.0
+
+
+def test_block_size_profile_consistency(spark):
+    """The block profiler's pair masses against the blocking union's
+    provenance masks on sf0.001: the structural rule's mass equals its
+    actual pair count exactly (each pair lives in exactly one (lang,
+    band) block), the minhash mass upper-bounds its distinct pair
+    count (a pair colliding in several of the 4 bands is mass-counted
+    per band but emitted once), and per-rule record mass equals n_docs
+    (structural: 1 key/record) and 4*n_docs (minhash: 1 key/band)."""
+    from edlib_spark.driver_contract import (_read, block_size_profile,
+                                             multi_blocking_pairs)
+    sf = "/root/testdata/sf0.001"
+    prof = {r["rule"]: r for r in
+            (block_size_profile(spark, sf)
+             .groupBy("rule")
+             .agg(F.sum(F.col("n_blocks") * F.col("block_size"))
+                  .alias("rows"),
+                  F.sum("n_pairs").alias("mass")).collect())}
+    masks = [r["rules_mask"]
+             for r in multi_blocking_pairs(spark, sf).collect()]
+    n_docs = _read(spark, sf, "documents").count()
+    assert prof["structural"]["rows"] == n_docs
+    assert prof["minhash"]["rows"] == 4 * n_docs
+    assert prof["structural"]["mass"] == sum(1 for m in masks if m & 4)
+    n_mh = sum(1 for m in masks if m & 2)
+    assert n_mh <= prof["minhash"]["mass"]
