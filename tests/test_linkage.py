@@ -416,6 +416,46 @@ def test_meta_blocking_quality_semantics(spark):
     assert n_truth > 0 and row["truth_retention"] == 1.0
 
 
+def test_wnp_randomized_equivalence(spark):
+    """weighted_node_prune against a pure-Python re-derivation on
+    seeded random graphs — boundary ties (w*deg == sw exactly),
+    uniform-weight graphs (everything kept, both endpoints vote),
+    hubs, degree-1 nodes — plus emit_all=False equals the kept slice
+    of emit_all=True, and the never-isolates invariant."""
+    import random
+    from edlib_spark.operators.blocking import weighted_node_prune
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(5, 40)
+        pairs = {tuple(sorted(rng.sample(range(n), 2)))
+                 for _ in range(rng.randint(n, 4 * n))}
+        uniform = seed % 3 == 0
+        rows = [(a, b, 1 if uniform else rng.randint(1, 4))
+                for a, b in sorted(pairs)]
+        df = spark.createDataFrame(rows, "id_a long, id_b long, w long")
+        got = {(r["id_a"], r["id_b"]): (r["weight"], r["retained_by"])
+               for r in weighted_node_prune(df, "w",
+                                            emit_all=True).collect()}
+        deg, sw = {}, {}
+        for a, b, w in rows:
+            for node in (a, b):
+                deg[node] = deg.get(node, 0) + 1
+                sw[node] = sw.get(node, 0) + w
+        expect = {(a, b): (w, (1 if w * deg[a] >= sw[a] else 0)
+                           | (2 if w * deg[b] >= sw[b] else 0))
+                  for a, b, w in rows}
+        assert got == expect, f"seed {seed}"
+        kept = {k: v for k, v in got.items() if v[1] > 0}
+        got_filtered = {(r["id_a"], r["id_b"]): (r["weight"],
+                                                 r["retained_by"])
+                        for r in weighted_node_prune(df, "w").collect()}
+        assert got_filtered == kept, f"seed {seed}"
+        if uniform:
+            assert all(v[1] == 3 for v in got.values()), f"seed {seed}"
+        # pruning never isolates a node of the input graph
+        assert {x for ab in kept for x in ab} == set(deg), f"seed {seed}"
+
+
 def test_block_size_profile_consistency(spark):
     """The block profiler's pair masses against the blocking union's
     provenance masks on sf0.001: the structural rule's mass equals its
