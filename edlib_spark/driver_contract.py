@@ -3154,20 +3154,13 @@ assert _PQ_D % _PQ_M == 0
 _PQ_DSUB = _PQ_D // _PQ_M
 
 
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN — the memory-compressed scale path (a 10^9-vector
-    f64 index is ~0.5 TB raw; PQ stores m=4 codes + a cell id per
-    vector).  Coarse stage: the SAME trained k-means cells and nprobe=2
-    probing as ann_ivf_topk (side-table centroids shared).  Fine stage:
-    non-residual product quantization — 4 subspaces x 16 codewords
-    trained by seeded per-slice Lloyd (operators/ann.pq_codebooks),
-    neighbors encoded row-locally to their nearest codeword per
-    subspace, queries build a 4x16 LUT of subspace distances, and the
-    asymmetric distance (ADC) is a pure table-lookup fold — no
-    full-dimension arithmetic inside the probed cells.  Top-5 per query
-    by (ADC ASC, neighbor_id).  Codebooks + centroids ride side tables
-    (partition-order float sums), and DuckDB re-derives assignment,
-    codes, LUTs, ADC, and the ranking from those shared floats."""
+def _ivfpq_adc(spark: SparkSession, sf_dir: str):
+    """Shared IVF-PQ construction: trained coarse cells (nprobe=2),
+    per-slice PQ codebooks, row-local neighbor encoding, query LUTs,
+    and the ADC table-lookup fold.  Returns (base, scored) where
+    scored = (query_id, neighbor_id, adc) over the probed cells —
+    ann_ivfpq_topk ranks it directly; ann_ivfpq_rerank_topk shortlists
+    it and re-scores exactly."""
     from .operators.ann import (_books_by_sub, assign_cells,
                                 kmeans_centroids, pq_adc_expr,
                                 pq_codebooks, pq_encode_expr, pq_lut_expr)
@@ -3195,12 +3188,78 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("query_id", "neighbor_id",
                       pq_adc_expr(F.col("codes"),
                                   F.col("luts")).alias("adc")))
+    return base, scored
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the memory-compressed scale path (a 10^9-vector
+    f64 index is ~0.5 TB raw; PQ stores m=4 codes + a cell id per
+    vector).  Coarse stage: the SAME trained k-means cells and nprobe=2
+    probing as ann_ivf_topk (side-table centroids shared).  Fine stage:
+    non-residual product quantization — 4 subspaces x 16 codewords
+    trained by seeded per-slice Lloyd (operators/ann.pq_codebooks),
+    neighbors encoded row-locally to their nearest codeword per
+    subspace, queries build a 4x16 LUT of subspace distances, and the
+    asymmetric distance (ADC) is a pure table-lookup fold — no
+    full-dimension arithmetic inside the probed cells.  Top-5 per query
+    by (ADC ASC, neighbor_id).  Codebooks + centroids ride side tables
+    (partition-order float sums), and DuckDB re-derives assignment,
+    codes, LUTs, ADC, and the ranking from those shared floats."""
+    _, scored = _ivfpq_adc(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 5)
             .select("query_id", "neighbor_id",
                     F.col("rank").cast("bigint").alias("rank"),
                     F.round("adc", 4).alias("adc_r")))
+
+
+_PQ_RERANK_R = 20  # ADC shortlist size feeding the exact re-rank
+
+
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with EXACT RE-RANKING — the refine stage a production
+    PQ deployment runs (FAISS IndexRefineFlat): the compressed ADC
+    scan shortlists R=20 candidates per query with table lookups only,
+    then ONLY those R rows fetch their full-precision vectors and get
+    an exact cosine, and the final top-5 ranks by (cosine DESC,
+    neighbor_id).  This recovers the recall PQ distortion loses inside
+    the shortlist while touching R full vectors per query instead of
+    |probed cells| — at 10^9 vectors the full-precision store stays
+    cold and is hit 20 rows/query.
+
+    Scale shape: the shortlist window runs on the skinny (query,
+    neighbor, adc) stream; the two vector attaches are equi-joins of
+    an O(queries*R) shortlist against the vector table (broadcastable
+    shortlist).  The exact cosine is the family's sequential
+    F.aggregate/zip_with fold, so DuckDB's list_sum re-derives it
+    bit-for-bit from the shared side-table floats."""
+    base, scored = _ivfpq_adc(spark, sf_dir)
+    w1 = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    short = (scored.withColumn("srank", F.row_number().over(w1))
+             .where(F.col("srank") <= _PQ_RERANK_R)
+             .select("query_id", "neighbor_id"))
+    qv = base.select(F.col("vec_id").alias("query_id"),
+                     F.col("v").alias("q"))
+    nv = base.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("v").alias("n"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    cos = dot(F.col("q"), F.col("n")) / (
+        F.sqrt(dot(F.col("q"), F.col("q")))
+        * F.sqrt(dot(F.col("n"), F.col("n"))))
+    exact = (short.join(qv, "query_id").join(nv, "neighbor_id")
+             .select("query_id", "neighbor_id", cos.alias("cos")))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                                "neighbor_id")
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.round("cos", 4).alias("cos_r")))
 
 
 # IVF-PQ oracle: coarse assignment identical to _SQL_ANN_IVF from the
@@ -3210,7 +3269,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-(vector, subspace) argmin with the cent_id tie-break, and ADC is
 # list_sum over the sub_id-ordered lookups (the fold order the Spark
 # side uses).  dsub = 16 at d = 64, m = 4.
-_SQL_ANN_IVFPQ = f"""
+# The CTE chain shared by the plain and reranked IVF-PQ oracles, up
+# to the ADC-scored candidate stream.
+_SQL_IVFPQ_CORE = f"""
     WITH base AS (
         SELECT CAST(vec_id AS BIGINT) AS vec_id,
                CAST(embedding AS DOUBLE[]) AS v
@@ -3258,7 +3319,9 @@ _SQL_ANN_IVFPQ = f"""
         JOIN subdist qd ON qd.vec_id = q.vec_id
                        AND qd.sub_id = cn.sub_id
                        AND qd.cent_id = cn.cent_id
-        GROUP BY q.vec_id, n.vec_id),
+        GROUP BY q.vec_id, n.vec_id)"""
+
+_SQL_ANN_IVFPQ = _SQL_IVFPQ_CORE + """,
     ranked AS (
         SELECT query_id, neighbor_id, adc,
                row_number() OVER (PARTITION BY query_id
@@ -3267,6 +3330,36 @@ _SQL_ANN_IVFPQ = f"""
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
            round(adc, 4) AS adc_r
     FROM ranked WHERE rank <= 5
+"""
+
+# Rerank oracle: ADC shortlist (same window as the plain ranking, cut
+# at R), exact cosine re-derived from the raw vectors with the same
+# sequential list_sum fold the whole ANN family uses, final top-5 by
+# (cos DESC, neighbor_id).
+_SQL_ANN_IVFPQ_RERANK = _SQL_IVFPQ_CORE + f""",
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc, neighbor_id) AS srank
+            FROM scored) WHERE srank <= {_PQ_RERANK_R}),
+    exact AS (
+        SELECT s.query_id, s.neighbor_id,
+               list_sum(list_transform(list_zip(q.v, n.v),
+                                       x -> x[1] * x[2]))
+             / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(n.v, x -> x * x)))) AS cos
+        FROM short s
+        JOIN base q ON q.vec_id = s.query_id
+        JOIN base n ON n.vec_id = s.neighbor_id),
+    rer AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM exact)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(cos, 4) AS cos_r
+    FROM rer WHERE rank <= 5
 """
 
 
@@ -4005,6 +4098,7 @@ def build_queries():
         "embedding_cosine_neardup": embedding_cosine_neardup,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
+        "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "fs_match_documents": fs_match_documents,
         "fs_tf_match_documents": fs_tf_match_documents,
@@ -4073,6 +4167,7 @@ def build_oracle_sql():
         "embedding_cosine_neardup": _SQL_COSINE_NEARDUP,
         "ann_ivf_topk": _SQL_ANN_IVF,
         "ann_ivfpq_topk": _SQL_ANN_IVFPQ,
+        "ann_ivfpq_rerank_topk": _SQL_ANN_IVFPQ_RERANK,
         "shw_distance_exact": _SQL_SHW_EXACT,
         "hw_distance_exact": _SQL_HW_EXACT,
         "hw_locations_exact": _SQL_HW_LOCATIONS_EXACT,
