@@ -655,12 +655,12 @@ def _fs_pattern_products() -> tuple:
     return mp_expr, up_expr
 
 
-# ONE builder generates both the plain and the TF-adjusted variant so
-# the SNM derivation, flag expressions, and product order cannot drift
-# between them; the TF variant swaps the u-side factor on the two
-# categorical fields for the shared value's recomputed corpus
-# frequency and joins the frequency CTEs.
-def _sql_fs(tf: bool) -> str:
+def _fs_flag_products(tf: bool) -> tuple[str, str]:
+    """(pm, pu) — the left-to-right prior-times-field products over
+    boolean flag columns f0..f3, the pair-space twin of
+    _fs_pattern_products.  ONE definition shared by _sql_fs (match/TF
+    posteriors) and the calibration oracle, so the IEEE product order
+    cannot drift between them."""
     pm = "(SELECT lam FROM fsp WHERE field_id = 0)"
     pu = "(1 - (SELECT lam FROM fsp WHERE field_id = 0))"
     for i in range(_FS_N_FIELDS):
@@ -672,6 +672,16 @@ def _sql_fs(tf: bool) -> str:
               f"ELSE 1 - {sel_m} END)")
         pu = (f"({pu} * CASE WHEN f{i} THEN {agree_u} "
               f"ELSE 1 - {sel_u} END)")
+    return pm, pu
+
+
+# ONE builder generates both the plain and the TF-adjusted variant so
+# the SNM derivation, flag expressions, and product order cannot drift
+# between them; the TF variant swaps the u-side factor on the two
+# categorical fields for the shared value's recomputed corpus
+# frequency and joins the frequency CTEs.
+def _sql_fs(tf: bool) -> str:
+    pm, pu = _fs_flag_products(tf)
     freq_ctes = f""", tot AS (SELECT count(*) AS n FROM documents),
     lfreq AS (SELECT lang, count(*) / (SELECT n FROM tot) AS tf
               FROM documents GROUP BY lang),
@@ -773,6 +783,96 @@ def _sql_fs_classify() -> str:
                      WHEN d.cm <= {_FS_LAMERR} THEN 0
                      ELSE 1 END AS BIGINT) AS decision
     FROM flagged fl JOIN decided d ON d.pat = fl.pattern
+"""
+
+
+def fs_calibration_documents(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Calibration audit of the FS match posterior (the reliability
+    histogram modern linkage engines plot next to the waterfall): SNM
+    candidate pairs binned by floor(posterior * 10), each bin labeled
+    with how many of its pairs are TRUE by the dedup family's own
+    match definition — exact char-5-gram Jaccard >= 0.8, computed only
+    on candidates (O(n*window) Jaccard evaluations, never all-pairs).
+    A calibrated model's bin precision tracks the bin midpoint; a bin
+    where it doesn't is where the clerical-review band belongs.
+    Scale shape: the O(n*w) SNM pair stream, two equi-joins to the
+    per-doc gram arrays, one map-side-combined groupBy over <=11 bins.
+    Counts are exact bigints; bin_precision is a single int/int IEEE
+    division, so DuckDB lands on the identical double.  The posterior
+    is the shared-side-table product (same rounded double the
+    fs_match_documents gate already proves bit-equal), so the binning
+    floor(pr*10) agrees exactly across engines."""
+    from .operators.dedup import char_ngram_set
+    from .operators.linkage import fs_posterior_expr, fs_train
+    pf = _fs_pairs_flags(spark, sf_dir)
+    _ensure_side_table(sf_dir, _FS_PARAMS_PATH,
+                       lambda: fs_train(pf, _FS_N_FIELDS))
+    prm = sorted(spark.read.parquet(_FS_PARAMS_PATH).collect(),
+                 key=lambda r: r["field_id"])
+    lam = prm[0]["lam"]
+    m = [r["m"] for r in prm]
+    u = [r["u"] for r in prm]
+    post = fs_posterior_expr(
+        [F.col(f"f{i}") for i in range(_FS_N_FIELDS)], lam, m, u)
+    docs = _read(spark, sf_dir, "documents")
+    grams = docs.select(F.col("doc_id").cast("bigint").alias("gid"),
+                        char_ngram_set(F.col("text"), 5).alias("g"))
+    ga = grams.select(F.col("gid").alias("id_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("gid").alias("id_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    is_true = ((F.size("ga") * 100 >= 80 * F.size("gb"))
+               & (F.size("gb") * 100 >= 80 * F.size("ga"))
+               & (inter * 100 >= 80 * union))
+    binned = (pf.select("id_a", "id_b", F.round(post, 6).alias("pr"))
+              .join(ga, "id_a").join(gb, "id_b")
+              .select(F.floor(F.col("pr") * 10).cast("bigint")
+                      .alias("bin"),
+                      is_true.alias("is_true")))
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum(F.when(F.col("is_true"), 1).otherwise(0)),
+                   F.lit(0)).cast("bigint").alias("n_true"))
+    return agg.select(
+        "bin", "n_pairs", "n_true",
+        (F.col("n_true") / F.col("n_pairs")).alias("bin_precision"))
+
+
+# Calibration oracle: the same SNM/flag CTEs and the SHARED pm/pu
+# product (via _fs_flag_products) as the fs_match oracle, the truth
+# predicate textually the meta-blocking audit's, then the grouped
+# exact counts and one division per bin.
+def _sql_fs_calibration() -> str:
+    pm, pu = _fs_flag_products(tf=False)
+    return f"""
+    WITH fsp AS (SELECT field_id, m, u, lam
+                 FROM read_parquet('{_FS_PARAMS_PATH}/*.parquet')),
+    {_snm_ctes(attrs=True)}, {_fs_flags_cte(False)}, sh AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   [text[i:i+4] FOR i IN
+                    range(1, greatest(length(text) - 4, 1) + 1)])) AS g
+        FROM documents
+    ), scored AS (
+        SELECT CAST(floor(round({pm} / ({pm} + {pu}), 6) * 10)
+                    AS BIGINT) AS bin,
+               (len(ga.g) * 100 >= 80 * len(gb.g)
+                AND len(gb.g) * 100 >= 80 * len(ga.g)
+                AND len(list_intersect(ga.g, gb.g)) * 100
+                    >= 80 * len(list_distinct(list_concat(ga.g, gb.g))))
+                   AS is_true
+        FROM flagged fl
+        JOIN sh ga ON ga.doc_id = fl.id_a
+        JOIN sh gb ON gb.doc_id = fl.id_b
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_true,
+           CAST(coalesce(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0)
+                AS DOUBLE) / count(*) AS bin_precision
+    FROM scored GROUP BY bin
 """
 
 
@@ -2918,6 +3018,21 @@ def _sql_dedup_corpus(edges_sql: str | None = None) -> str:
 _SQL_DEDUP_CORPUS = _sql_dedup_corpus()
 
 
+def _training_quality(docs: DataFrame) -> DataFrame:
+    """Stage 1 of the training chain: the quality gate (length +
+    stopword evidence) over raw documents — ONE definition shared by
+    _training_exact_and_edges and the funnel report so the gate the
+    funnel counts is byte-identical to the gate the corpus runs."""
+    from .operators.textops import tokens
+    toks = tokens(F.col("text"))
+    stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOPWORDS)))
+    return (docs.select("doc_id", "text",
+                        F.length("text").alias("n_chars"),
+                        F.size(toks).alias("n_tokens"),
+                        stop_cnt.alias("stop_cnt"))
+            .where((F.col("n_chars") >= 100) & (F.col("stop_cnt") >= 1)))
+
+
 def _training_exact_and_edges(spark: SparkSession,
                               sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """The quality-gate -> exact-dedup -> MinHash-near-dup front of the
@@ -2925,15 +3040,8 @@ def _training_exact_and_edges(spark: SparkSession,
     certify the edge set independently at sf0.1.  Returns (exact,
     edges) where edges carries BIGINT ids."""
     from .operators.dedup import minhash_neardup_pairs
-    from .operators.textops import tokens
     docs = _read(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOPWORDS)))
-    q = (docs.select("doc_id", "text",
-                     F.length("text").alias("n_chars"),
-                     F.size(toks).alias("n_tokens"),
-                     stop_cnt.alias("stop_cnt"))
-         .where((F.col("n_chars") >= 100) & (F.col("stop_cnt") >= 1)))
+    q = _training_quality(docs)
     # pinned: `exact` feeds the minhash blocker (which scans it twice),
     # the CC node list, and the final stats join — without the pin the
     # tokenize + window-dedup subtree recomputes ~5x
@@ -2946,6 +3054,25 @@ def _training_exact_and_edges(spark: SparkSession,
     return exact, edges
 
 
+def _training_kept(exact: DataFrame, edge_pairs: DataFrame) -> DataFrame:
+    """Stage 3 of the training chain: near-dup CC over the verified
+    edge set, keep the min-doc_id representative per component.
+    Returns a single-column (doc_id BIGINT) frame — shared by
+    doc_training_corpus and the funnel report."""
+    from .operators.clustering import cluster_assignments
+    edges = edge_pairs.select(F.col("id_a").cast("string").alias("id_a"),
+                              F.col("id_b").cast("string").alias("id_b"))
+    nodes = exact.select(F.col("doc_id").cast("string").alias("conv_id"))
+    assigned = cluster_assignments(nodes, edges)
+    return (assigned
+            .select(F.col("conv_id").cast("bigint").alias("doc_id"),
+                    F.col("cluster_id").alias("cid_str"))
+            .withColumn("root", F.min("doc_id")
+                        .over(Window.partitionBy("cid_str")))
+            .where(F.col("doc_id") == F.col("root"))
+            .select("doc_id"))
+
+
 def doc_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus-construction chain a training-data
     pipeline runs: quality gate (length + stopword evidence) -> exact
@@ -2953,19 +3080,8 @@ def doc_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact-Jaccard-verified, CC, keep representatives) -> kept corpus
     with per-doc stats.  Every stage is the already-graded operator;
     this query grades their COMPOSITION against one SQL oracle."""
-    from .operators.clustering import cluster_assignments
     exact, edge_pairs = _training_exact_and_edges(spark, sf_dir)
-    edges = edge_pairs.select(F.col("id_a").cast("string").alias("id_a"),
-                              F.col("id_b").cast("string").alias("id_b"))
-    nodes = exact.select(F.col("doc_id").cast("string").alias("conv_id"))
-    assigned = cluster_assignments(nodes, edges)
-    kept = (assigned
-            .select(F.col("conv_id").cast("bigint").alias("doc_id"),
-                    F.col("cluster_id").alias("cid_str"))
-            .withColumn("root", F.min("doc_id")
-                        .over(Window.partitionBy("cid_str")))
-            .where(F.col("doc_id") == F.col("root"))
-            .select("doc_id"))
+    kept = _training_kept(exact, edge_pairs)
     return (kept.join(exact, "doc_id")
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     F.col("n_chars").cast("bigint").alias("n_chars"),
@@ -3021,6 +3137,80 @@ def _sql_doc_training_corpus(edges_sql: str | None = None) -> str:
     FROM exd d LEFT JOIN comp ON d.doc_id = comp.node
     WHERE coalesce(comp.root, d.doc_id) = d.doc_id
     """
+
+
+def training_funnel_documents(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The per-stage retention funnel every production corpus pipeline
+    reports (raw -> quality gate -> exact dedup -> near-dup dedup):
+    one row per stage with the exact count of documents still alive
+    after it.  Each stage is doc_training_corpus's own stage — the
+    quality gate via the shared _training_quality, exact dedup and the
+    MinHash edge set via _training_exact_and_edges, representatives
+    via the shared _training_kept — so the funnel can never report a
+    different pipeline than the one that runs.  Scale shape: four
+    map-side-combined count aggregates over frames the chain already
+    materializes (`exact` is localCheckpoint-pinned inside
+    _training_exact_and_edges); nothing quadratic beyond the already
+    -graded edge derivation, no collect.  The oracle re-derives every
+    stage in SQL (same CTEs as the doc_training_corpus oracle) and
+    counts them independently."""
+    docs = _read(spark, sf_dir, "documents")
+    exact, edge_pairs = _training_exact_and_edges(spark, sf_dir)
+    kept = _training_kept(exact, edge_pairs)
+
+    def _stage(df: DataFrame, i: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("c")).select(
+            F.lit(i).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col("c").cast("bigint").alias("n_docs"))
+
+    return (_stage(docs, 0, "raw")
+            .unionByName(_stage(_training_quality(docs), 1, "quality"))
+            .unionByName(_stage(exact, 2, "exact_dedup"))
+            .unionByName(_stage(kept, 3, "neardup_dedup")))
+
+
+def _sql_training_funnel(edges_sql: str | None = None) -> str:
+    """Funnel oracle: the doc_training_corpus oracle's own stage CTEs
+    (quality gate, exact dedup, gram sets, edge join, recursive-CTE
+    components) with one count per stage.  ``edges_sql`` swaps in the
+    certificate edge table at cross-scale, exactly as
+    _sql_doc_training_corpus does."""
+    edges = edges_sql or """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        WHERE len(a.g) * 100 >= 80 * len(b.g)
+          AND len(b.g) * 100 >= 80 * len(a.g)
+          AND len(list_intersect(a.g, b.g)) * 100
+              >= 80 * len(list_distinct(list_concat(a.g, b.g)))"""
+    return f"""
+    WITH RECURSIVE {_sql_training_stages()},
+    e AS ({edges}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM e
+            UNION SELECT id_b, id_a FROM e),
+    reach AS (
+        SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.u AS node, r.lab AS lab
+        FROM sym s JOIN reach r ON s.v = r.node),
+    comp AS (SELECT node, min(lab) AS root FROM reach GROUP BY node),
+    kept AS (
+        SELECT d.doc_id
+        FROM exd d LEFT JOIN comp ON d.doc_id = comp.node
+        WHERE coalesce(comp.root, d.doc_id) = d.doc_id)
+    SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'quality',
+           CAST((SELECT count(*) FROM qf) AS BIGINT)
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'exact_dedup',
+           CAST((SELECT count(*) FROM exd) AS BIGINT)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'neardup_dedup',
+           CAST((SELECT count(*) FROM kept) AS BIGINT)
+"""
 
 
 def doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4094,6 +4284,7 @@ def build_queries():
         "doc_neardup_clusters": doc_neardup_clusters,
         "doc_dedup_corpus": doc_dedup_corpus,
         "doc_training_corpus": doc_training_corpus,
+        "training_funnel_documents": training_funnel_documents,
         "doc_simhash_neardup": doc_simhash_neardup,
         "embedding_cosine_neardup": embedding_cosine_neardup,
         "ann_ivf_topk": ann_ivf_topk,
@@ -4103,6 +4294,7 @@ def build_queries():
         "fs_match_documents": fs_match_documents,
         "fs_tf_match_documents": fs_tf_match_documents,
         "fs_classify_documents": fs_classify_documents,
+        "fs_calibration_documents": fs_calibration_documents,
         "multi_blocking_pairs": multi_blocking_pairs,
         "meta_blocking_pairs": meta_blocking_pairs,
         "meta_blocking_quality": meta_blocking_quality,
@@ -4140,6 +4332,7 @@ def build_oracle_sql():
         "fs_match_documents": _sql_fs(tf=False),
         "fs_tf_match_documents": _sql_fs(tf=True),
         "fs_classify_documents": _sql_fs_classify(),
+        "fs_calibration_documents": _sql_fs_calibration(),
         "multi_blocking_pairs": _sql_multi_blocking(),
         "meta_blocking_pairs": _sql_meta_blocking(),
         "meta_blocking_quality": _sql_meta_blocking_quality(),
@@ -4164,6 +4357,7 @@ def build_oracle_sql():
         "doc_neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "doc_dedup_corpus": _SQL_DEDUP_CORPUS,
         "doc_training_corpus": _sql_doc_training_corpus(),
+        "training_funnel_documents": _sql_training_funnel(),
         "embedding_cosine_neardup": _SQL_COSINE_NEARDUP,
         "ann_ivf_topk": _SQL_ANN_IVF,
         "ann_ivfpq_topk": _SQL_ANN_IVFPQ,

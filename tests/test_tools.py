@@ -26,15 +26,15 @@ def test_cross_scale_overrides_match_contract():
     contract = set(entry.queries())
     supporting = {"training_edges_sampled"}
     assert set(over) - supporting <= contract, set(over) - contract
-    # exactly the 10 quadratic-oracle queries are overridden (the 8
-    # original + the two round-5 cluster consumers, whose oracles
-    # embed the same all-pairs Jaccard edge derivation)
+    # exactly the 11 quadratic-oracle queries are overridden (the 8
+    # original + the round-5 cluster consumers and the funnel report,
+    # whose oracles embed the same all-pairs Jaccard edge derivation)
     assert set(over) - supporting == {
         "scored_pairs_nw", "match_edges", "clusters",
         "clusters_incremental", "doc_minhash_neardup",
         "doc_neardup_clusters", "doc_dedup_corpus",
-        "doc_training_corpus", "cluster_audit_documents",
-        "golden_records_documents"}
+        "doc_training_corpus", "training_funnel_documents",
+        "cluster_audit_documents", "golden_records_documents"}
     # every override carries a tag the report prints
     assert all(len(v) == 3 and v[2] for v in over.values())
 

@@ -200,6 +200,10 @@ def build_overrides(spark, sf_dir):
             lambda: dc.doc_training_corpus(spark, sf_dir),
             lambda: dc._sql_doc_training_corpus(training_edge_sql()),
             "certificate"),
+        "training_funnel_documents": (
+            lambda: dc.training_funnel_documents(spark, sf_dir),
+            lambda: dc._sql_training_funnel(training_edge_sql()),
+            "certificate"),
         # supporting evidence (not a contract query): the training
         # chain's internal edge set, stratum-verified exhaustively.
         # Read back from the certificate side table (written by the
