@@ -876,6 +876,100 @@ def _sql_fs_calibration() -> str:
 """
 
 
+_PPRL_BITS = 256   # Bloom filter width m
+_PPRL_K = 3        # hash functions per token (Schnell's g_i = h1 + i*h2)
+_PPRL_TAU = 0.5    # Dice similarity floor on emitted pairs
+
+
+def pprl_bloom_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving record linkage (Schnell/Bachteler/Reiher
+    2009): each record's token set is encoded into an m=256-bit Bloom
+    filter via k=3 double-hashing functions g_i = (h1 + i*h2) mod m
+    (h1/h2 = two 32-bit words of md5(token)), and candidate pairs are
+    compared on the ENCODINGS ONLY with the Dice coefficient
+    2*|A&B| / (|A|+|B|) — the comparison a linkage unit runs when the
+    parties may not exchange plaintext.  Candidates come from the same
+    SNM window as the FS family (a deployment would block on encoded
+    keys; the candidate source is orthogonal to the encoding).
+    Scale shape: encoding is one JVM-side transform/flatten per row
+    (no UDF, no shuffle); the filter is carried as a sorted distinct
+    position array; two equi-joins attach encodings to the O(n*w) SNM
+    pair stream.  Set sizes and intersections are exact ints; dice is
+    a single bigint/bigint IEEE division, so DuckDB reproduces it
+    bit-for-bit.  The oracle re-derives tokenization, md5 double
+    hashing, the filter, and the Dice from scratch in SQL (md5 of
+    identical UTF-8 strings agrees across engines — the established
+    stratum convention)."""
+    from .operators.textops import tokens
+    docs = _read(spark, sf_dir, "documents")
+
+    def _h(t: Column, lo: int) -> Column:
+        return F.conv(F.substring(F.md5(t), lo, 8), 16, 10).cast("bigint")
+
+    def _positions(t: Column) -> Column:
+        return F.array(*[(_h(t, 1) + F.lit(i) * _h(t, 9)) % _PPRL_BITS
+                         for i in range(_PPRL_K)])
+
+    bf = F.array_sort(F.array_distinct(F.flatten(
+        F.transform(F.array_distinct(tokens(F.col("text"))),
+                    _positions))))
+    enc = docs.select(F.col("doc_id").cast("bigint").alias("gid"),
+                      bf.alias("bf"))
+    keyed = docs.select(F.col("doc_id").alias("rec_id"),
+                        _snm_prefix_key().alias("snm_key"))
+    pairs = sorted_neighborhood_pairs(keyed, key_col="snm_key",
+                                      id_col="rec_id",
+                                      window=_SNM_WINDOW)
+    ea = enc.select(F.col("gid").alias("id_a"), F.col("bf").alias("ba"))
+    eb = enc.select(F.col("gid").alias("id_b"), F.col("bf").alias("bb"))
+    inter = F.size(F.array_intersect("ba", "bb"))
+    dice = (F.lit(2) * inter) / (F.size("ba") + F.size("bb"))
+    return (pairs.select(F.col("id_a").cast("bigint").alias("id_a"),
+                         F.col("id_b").cast("bigint").alias("id_b"))
+            .join(ea, "id_a").join(eb, "id_b")
+            .select("id_a", "id_b",
+                    inter.cast("bigint").alias("inter_bits"),
+                    F.size("ba").cast("bigint").alias("bits_a"),
+                    F.size("bb").cast("bigint").alias("bits_b"),
+                    dice.alias("dice"))
+            .where(F.col("dice") >= _PPRL_TAU))
+
+
+# PPRL oracle: tokenization as the token-stats oracle's, the double
+# hashing from md5 hex words parsed with DuckDB's 0x-cast, the filter
+# as a sorted distinct position list, Dice as one CAST-to-double
+# division, over the shared SNM pair CTEs.
+def _sql_pprl_bloom() -> str:
+    gs = " , ".join(
+        f"(('0x' || substr(md5(t), 1, 8))::BIGINT "
+        f"+ {i} * ('0x' || substr(md5(t), 9, 8))::BIGINT) % {_PPRL_BITS}"
+        for i in range(_PPRL_K))
+    return f"""
+    WITH {_snm_ctes()}, enc AS (
+        SELECT doc_id,
+               list_sort(list_distinct(flatten(
+                   [[{gs}] FOR t IN list_distinct(
+                       list_filter(string_split_regex(lower(text),
+                                                      '\\s+'),
+                                   t -> t <> ''))]))) AS bf
+        FROM documents
+    )
+    SELECT CAST(p.id_a AS BIGINT) AS id_a,
+           CAST(p.id_b AS BIGINT) AS id_b,
+           CAST(len(list_intersect(a.bf, b.bf)) AS BIGINT)
+               AS inter_bits,
+           CAST(len(a.bf) AS BIGINT) AS bits_a,
+           CAST(len(b.bf) AS BIGINT) AS bits_b,
+           CAST(2 * len(list_intersect(a.bf, b.bf)) AS DOUBLE)
+               / (len(a.bf) + len(b.bf)) AS dice
+    FROM pairs p
+    JOIN enc a ON a.doc_id = p.id_a
+    JOIN enc b ON b.doc_id = p.id_b
+    WHERE CAST(2 * len(list_intersect(a.bf, b.bf)) AS DOUBLE)
+              / (len(a.bf) + len(b.bf)) >= {_PPRL_TAU}
+"""
+
+
 def fs_waterfall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-field match-weight decomposition (the 'waterfall' modern
     linkage engines show to explain WHY a pair matched), in ODDS space
@@ -2720,6 +2814,98 @@ def align_path_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _cigar_op_sum(op: str) -> Column:
+    """Total run length of one CIGAR op over a ``cigar`` column —
+    JVM-side regexp_extract_all + left-fold sum (no UDF); pinned on
+    golden CIGARs by tests/test_cigar_oracle.py."""
+    runs = F.regexp_extract_all("cigar", F.lit(rf"(\d+){op}"), F.lit(1))
+    return F.aggregate(F.transform(runs, lambda x: x.cast("bigint")),
+                       F.lit(0).cast("bigint"),
+                       lambda acc, x: acc + x)
+
+
+def align_ops_stats_documents(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-pair alignment-operation statistics from the EXTENDED CIGAR
+    — the counts a consumer of alignment paths actually aggregates
+    (samtools stats / BLAST pident shape): matches, substitutions,
+    insertions, deletions, total aligned columns, and the identity
+    fraction n_eq / aligned_len.  Parsing is JVM-side
+    (regexp_extract_all + a left-fold sum, no UDF) over the same
+    adjacent-doc pairs as align_path_documents.  Oracle-backed
+    (certificate, _sql_cigar_replay): the CIGAR rides the shared side
+    table, DuckDB replays it for validity+optimality against the raw
+    texts and re-derives every count from its own parsed runs —
+    emitting poison values when the certificate fails, so an invalid
+    or suboptimal path can never grade as correct statistics.
+    identity_frac is one bigint/bigint IEEE division (guarded for the
+    empty-vs-empty pair on BOTH engines)."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.col("text").alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"),
+                    F.col("text").alias("text_b"))
+    joined = a.join(b, "id_a").where(F.col("id_b") < 50)
+    res = align_expr(F.col("text_a"), F.col("text_b"), mode="NW",
+                     task="path")
+    out0 = joined.select(F.col("id_a").cast("bigint").alias("id_a"),
+                         F.col("id_b").cast("bigint").alias("id_b"),
+                         res.getField("cigar").alias("cigar"))
+    _ensure_side_table(sf_dir, _PATH_CIGARS_PATH,
+                       lambda: out0.select("id_a", "id_b", "cigar"))
+    counted = out0.select(
+        "id_a", "id_b",
+        _cigar_op_sum("=").alias("n_eq"), _cigar_op_sum("X").alias("n_sub"),
+        _cigar_op_sum("I").alias("n_ins"), _cigar_op_sum("D").alias("n_del"))
+    aligned = (F.col("n_eq") + F.col("n_sub") + F.col("n_ins")
+               + F.col("n_del"))
+    return counted.select(
+        "id_a", "id_b", "n_eq", "n_sub", "n_ins", "n_del",
+        aligned.cast("bigint").alias("aligned_len"),
+        F.when(aligned > 0, F.col("n_eq") / aligned)
+         .otherwise(F.lit(1.0)).alias("identity_frac"))
+
+
+# Ops-stats oracle: replay certificate over the shared CIGAR side
+# table (same pairs CTE as align_path), counts re-derived from the
+# replay's own parsed runs, poisoned to -1 when the certificate fails.
+_SQL_ALIGN_OPS = _sql_cigar_replay(
+    _SQL_PATH_PAIRS, _PATH_CIGARS_PATH, f"""
+    , opsum AS (
+        SELECT id_a, id_b,
+               CAST(coalesce(sum(CASE WHEN op = '=' THEN rl END), 0)
+                    AS BIGINT) AS n_eq,
+               CAST(coalesce(sum(CASE WHEN op = 'X' THEN rl END), 0)
+                    AS BIGINT) AS n_sub,
+               CAST(coalesce(sum(CASE WHEN op = 'I' THEN rl END), 0)
+                    AS BIGINT) AS n_ins,
+               CAST(coalesce(sum(CASE WHEN op = 'D' THEN rl END), 0)
+                    AS BIGINT) AS n_del
+        FROM ops GROUP BY id_a, id_b
+    )
+    SELECT p.id_a, p.id_b,
+           CASE WHEN {_SQL_CIGAR_VALID} THEN o.n_eq
+                ELSE CAST(-1 AS BIGINT) END AS n_eq,
+           CASE WHEN {_SQL_CIGAR_VALID} THEN o.n_sub
+                ELSE CAST(-1 AS BIGINT) END AS n_sub,
+           CASE WHEN {_SQL_CIGAR_VALID} THEN o.n_ins
+                ELSE CAST(-1 AS BIGINT) END AS n_ins,
+           CASE WHEN {_SQL_CIGAR_VALID} THEN o.n_del
+                ELSE CAST(-1 AS BIGINT) END AS n_del,
+           CASE WHEN {_SQL_CIGAR_VALID}
+                THEN o.n_eq + o.n_sub + o.n_ins + o.n_del
+                ELSE CAST(-1 AS BIGINT) END AS aligned_len,
+           CASE WHEN NOT ({_SQL_CIGAR_VALID}) THEN -1.0
+                WHEN o.n_eq + o.n_sub + o.n_ins + o.n_del > 0
+                THEN CAST(o.n_eq AS DOUBLE)
+                     / (o.n_eq + o.n_sub + o.n_ins + o.n_del)
+                ELSE 1.0 END AS identity_frac
+    FROM pairs p JOIN pc c USING (id_a, id_b)
+    JOIN checked ch USING (id_a, id_b)
+    JOIN opsum o USING (id_a, id_b)""")
+
+
 _PATH_CIGARS_STD_PATH = os.path.join(_REPO_ROOT, "data",
                                      "path_cigars_std_current.parquet")
 
@@ -4279,6 +4465,7 @@ def build_queries():
         "nice_alignment_documents": nice_alignment_documents,
         "align_path_documents": align_path_documents,
         "align_path_std_documents": align_path_std_documents,
+        "align_ops_stats_documents": align_ops_stats_documents,
         "minhash_blocks_documents": minhash_blocks_documents,
         "doc_minhash_neardup": doc_minhash_neardup,
         "doc_neardup_clusters": doc_neardup_clusters,
@@ -4295,6 +4482,7 @@ def build_queries():
         "fs_tf_match_documents": fs_tf_match_documents,
         "fs_classify_documents": fs_classify_documents,
         "fs_calibration_documents": fs_calibration_documents,
+        "pprl_bloom_documents": pprl_bloom_documents,
         "multi_blocking_pairs": multi_blocking_pairs,
         "meta_blocking_pairs": meta_blocking_pairs,
         "meta_blocking_quality": meta_blocking_quality,
@@ -4333,6 +4521,7 @@ def build_oracle_sql():
         "fs_tf_match_documents": _sql_fs(tf=True),
         "fs_classify_documents": _sql_fs_classify(),
         "fs_calibration_documents": _sql_fs_calibration(),
+        "pprl_bloom_documents": _sql_pprl_bloom(),
         "multi_blocking_pairs": _sql_multi_blocking(),
         "meta_blocking_pairs": _sql_meta_blocking(),
         "meta_blocking_quality": _sql_meta_blocking_quality(),
@@ -4383,6 +4572,7 @@ def build_oracle_sql():
         "nice_alignment_documents": _SQL_NICE_ALIGNMENT,
         "align_path_documents": _SQL_ALIGN_PATH,
         "align_path_std_documents": _SQL_ALIGN_PATH_STD,
+        "align_ops_stats_documents": _SQL_ALIGN_OPS,
         "shw_distance_documents": _SQL_SHW_DOCUMENTS,
         "hw_distance_documents": _SQL_HW_DOCUMENTS,
         "scored_pairs_hw": _SQL_SCORED_HW,

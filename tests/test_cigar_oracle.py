@@ -138,3 +138,70 @@ def test_certificate_property_random_paths(prop_dir, q, t):
     bad = str(int(m.group(1)) + 1) + cigar[m.end():]
     got = _run(prop_dir, [(0, 1, q, t, bad)])
     assert got[0][1] == "!invalid"
+
+
+def test_op_sum_golden_parse(spark):
+    """Pin the Spark-side CIGAR op-sum parse (align_ops_stats'
+    _cigar_op_sum) on the reference golden path 2=3I1D2I1X2= plus
+    edge shapes (single-run, empty, multi-digit runs)."""
+    from pyspark.sql import functions as F
+
+    from edlib_spark.driver_contract import _cigar_op_sum
+
+    rows = [("2=3I1D2I1X2=",), ("12=",), ("",), ("10X25I3D",)]
+    df = spark.createDataFrame(rows, "cigar string")
+    got = [tuple(r) for r in df.select(
+        F.col("cigar"),
+        _cigar_op_sum("=").alias("e"), _cigar_op_sum("X").alias("x"),
+        _cigar_op_sum("I").alias("i"), _cigar_op_sum("D").alias("d"))
+        .collect()]
+    expect = {"2=3I1D2I1X2=": (4, 1, 5, 1), "12=": (12, 0, 0, 0),
+              "": (0, 0, 0, 0), "10X25I3D": (0, 10, 25, 3)}
+    for cigar, e, x, i, d in got:
+        assert (e, x, i, d) == expect[cigar], cigar
+
+
+def test_ops_stats_oracle_poisons_on_invalid(tmp_path):
+    """The ops-stats final_select must emit poison counts (-1) when
+    the replay certificate fails, so a wrong path cannot grade as
+    correct statistics."""
+    from edlib_spark.driver_contract import _SQL_CIGAR_VALID
+
+    final = f"""
+    , opsum AS (
+        SELECT id_a, id_b,
+               CAST(coalesce(sum(CASE WHEN op = '=' THEN rl END), 0)
+                    AS BIGINT) AS n_eq
+        FROM ops GROUP BY id_a, id_b)
+    SELECT p.id_a,
+           CASE WHEN {_SQL_CIGAR_VALID} THEN o.n_eq
+                ELSE CAST(-1 AS BIGINT) END AS n_eq
+    FROM pairs p JOIN pc c USING (id_a, id_b)
+    JOIN checked ch USING (id_a, id_b)
+    JOIN opsum o USING (id_a, id_b)"""
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def run(cigar):
+        side = tmp_path / "side"
+        side.mkdir(exist_ok=True)
+        pq.write_table(pa.table({
+            "id_a": pa.array([0], pa.int64()),
+            "id_b": pa.array([1], pa.int64()),
+            "cigar": [cigar]}), side / "part-0.parquet")
+        con = duckdb.connect()
+        con.execute("CREATE TABLE tp(id_a BIGINT, id_b BIGINT,"
+                    " text_a VARCHAR, text_b VARCHAR, lead_ctx BIGINT)")
+        con.execute("INSERT INTO tp VALUES (0, 1, 'kitten',"
+                    " 'sitting', 0)")
+        sql = _sql_cigar_replay(
+            "SELECT id_a, id_b, text_a, text_b, lead_ctx FROM tp",
+            str(side), final)
+        return con.sql(sql).fetchall()[0]
+
+    good = kernel.align("kitten", "sitting", mode="NW",
+                        task="path")["cigar"]
+    assert run(good)[1] == 4  # kitten/sitting: 4 matching columns
+    assert run("7=") == (0, -1)  # wrong path -> poison, not counts
