@@ -1319,6 +1319,36 @@ def _sql_meta_blocking() -> str:
 """
 
 
+def meta_blocking_wep_pairs(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Meta-blocking WEIGHTED EDGE PRUNING over the same multi-pass
+    blocking graph as meta_blocking_pairs — the global-mean-threshold
+    baseline (keep iff w * |E| >= sum_w, bigint cross-multiplied) the
+    WNP variant is measured against.  Grading both variants pins the
+    trade-off the BENCH/BLOCKING.md study quantifies: WEP is cheaper
+    (one 2-scalar aggregate, no per-node stats join) but can isolate
+    records, which WNP never does.  Scale shape: the blocking graph
+    pinned once, one map-side-combined global aggregate, a broadcast
+    crossJoin filter — no keyed shuffle on the edge stream at all."""
+    from .operators.blocking import weighted_edge_prune
+    mb = multi_blocking_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    return weighted_edge_prune(mb, weight_col="n_rules")
+
+
+# WEP oracle: the blocking union re-derived by its own oracle, the
+# global mean as a scalar CTE, the same integer cross-multiplied keep.
+def _sql_meta_blocking_wep() -> str:
+    return f"""
+    WITH mb AS ({_sql_multi_blocking()}),
+    tot AS (SELECT count(*) AS n_e, sum(n_rules) AS sw FROM mb)
+    SELECT CAST(mb.id_a AS BIGINT) AS id_a,
+           CAST(mb.id_b AS BIGINT) AS id_b,
+           CAST(mb.n_rules AS BIGINT) AS weight
+    FROM mb, tot
+    WHERE mb.n_rules * tot.n_e >= tot.sw
+"""
+
+
 def meta_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audit that justifies (or vetoes) meta-blocking: over the
     UNPRUNED multi-pass blocking graph, flag every edge kept-vs-dropped
@@ -4485,6 +4515,7 @@ def build_queries():
         "pprl_bloom_documents": pprl_bloom_documents,
         "multi_blocking_pairs": multi_blocking_pairs,
         "meta_blocking_pairs": meta_blocking_pairs,
+        "meta_blocking_wep_pairs": meta_blocking_wep_pairs,
         "meta_blocking_quality": meta_blocking_quality,
         "block_size_profile": block_size_profile,
         "fs_waterfall_documents": fs_waterfall_documents,
@@ -4524,6 +4555,7 @@ def build_oracle_sql():
         "pprl_bloom_documents": _sql_pprl_bloom(),
         "multi_blocking_pairs": _sql_multi_blocking(),
         "meta_blocking_pairs": _sql_meta_blocking(),
+        "meta_blocking_wep_pairs": _sql_meta_blocking_wep(),
         "meta_blocking_quality": _sql_meta_blocking_quality(),
         "block_size_profile": _sql_block_size_profile(),
         "fs_waterfall_documents": _sql_fs_waterfall(),

@@ -274,6 +274,33 @@ def weighted_node_prune(edges: DataFrame,
         .cast("bigint").alias("retained_by"))
 
 
+def weighted_edge_prune(edges: DataFrame,
+                        weight_col: str = "weight") -> DataFrame:
+    """Meta-blocking WEIGHTED EDGE PRUNING (Papadakis et al., TKDE
+    2014) — the GLOBAL-threshold sibling of :func:`weighted_node_prune`:
+    keep an edge iff its weight reaches the mean weight of the whole
+    blocking graph.  WEP cuts deeper than WNP (no per-node adaptivity,
+    so a node whose every edge is weak can be isolated) but is the
+    cheaper rule — one 2-scalar global aggregate instead of a per-node
+    stats join — and the paper's baseline every WNP study compares
+    against, so the engine grades both.
+
+    Purely integer math: ``w >= sum_w / n_edges`` evaluated as
+    ``w * n_edges >= sum_w`` in bigint cross-multiplication.  Scale
+    shape: one map-side-combined global aggregate (2 scalars) joined
+    back by broadcast crossJoin — the edge stream is touched twice
+    and never shuffled on a key.
+
+    Returns surviving (id_a, id_b, weight) rows."""
+    e = edges.select(F.col("id_a"), F.col("id_b"),
+                     F.col(weight_col).cast("bigint").alias("weight"))
+    tot = e.agg(F.count(F.lit(1)).alias("_n_e"),
+                F.sum("weight").alias("_sw"))
+    return (e.crossJoin(F.broadcast(tot))
+            .where(F.col("weight") * F.col("_n_e") >= F.col("_sw"))
+            .select("id_a", "id_b", "weight"))
+
+
 def all_blocks(canon: DataFrame, tau: float = 0.2, use_minhash: bool = True,
                num_hashes: int = 16, bands: int = 4,
                ngram: int = 5) -> DataFrame:

@@ -456,6 +456,34 @@ def test_wnp_randomized_equivalence(spark):
         assert {x for ab in kept for x in ab} == set(deg), f"seed {seed}"
 
 
+def test_wep_randomized_equivalence(spark):
+    """weighted_edge_prune against a pure-Python re-derivation on the
+    same seeded random graphs as the WNP test: the global-mean rule
+    (w * n_edges >= sum_w), boundary ties included; a uniform-weight
+    graph keeps everything (every w equals the mean).  Also documents
+    the WEP/WNP contrast: WEP MAY isolate nodes (no assertion that it
+    doesn't), which is exactly why the engine grades both."""
+    import random
+
+    from edlib_spark.operators.blocking import weighted_edge_prune
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(5, 40)
+        pairs = {tuple(sorted(rng.sample(range(n), 2)))
+                 for _ in range(rng.randint(n, 4 * n))}
+        uniform = seed % 3 == 0
+        rows = [(a, b, 1 if uniform else rng.randint(1, 4))
+                for a, b in sorted(pairs)]
+        df = spark.createDataFrame(rows, "id_a long, id_b long, w long")
+        got = {(r["id_a"], r["id_b"]): r["weight"]
+               for r in weighted_edge_prune(df, "w").collect()}
+        n_e, sw = len(rows), sum(w for _, _, w in rows)
+        expect = {(a, b): w for a, b, w in rows if w * n_e >= sw}
+        assert got == expect, f"seed {seed}"
+        if uniform:
+            assert len(got) == len(rows), f"seed {seed}"
+
+
 def test_block_size_profile_consistency(spark):
     """The block profiler's pair masses against the blocking union's
     provenance masks on sf0.001: the structural rule's mass equals its
