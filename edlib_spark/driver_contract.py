@@ -1349,6 +1349,46 @@ def _sql_meta_blocking_wep() -> str:
 """
 
 
+def meta_blocking_wep_quality(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The WEP twin of meta_blocking_quality: over the UNPRUNED
+    multi-pass blocking graph, flag every edge kept-vs-dropped by the
+    GLOBAL-mean rule (w·|E| ≥ Σw) and true-vs-spurious by the shared
+    exact 5-gram-Jaccard predicate, aggregated to the same one-row
+    counts/ratios shape.  Grading both audits at every scale is what
+    lets a deployment READ the WNP-vs-WEP trade-off from the contract
+    itself (WEP's kept fraction is far smaller, and its truth
+    retention is the number that decides whether that depth is free
+    on a given corpus).  Scale shape: one graph pin, a 2-scalar
+    global aggregate broadcast back, the shared gram joins, one
+    map-side-combined aggregate."""
+    mb = multi_blocking_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    tot = mb.agg(F.count(F.lit(1)).alias("_n_e"),
+                 F.sum("n_rules").alias("_sw"))
+    flagged = (mb.crossJoin(F.broadcast(tot))
+               .select("id_a", "id_b",
+                       (F.col("n_rules") * F.col("_n_e")
+                        >= F.col("_sw")).alias("kept")))
+    return _pruning_quality_of(spark, sf_dir, flagged)
+
+
+# WEP-quality oracle: same blocking union, the global-mean kept flag,
+# and the SHARED sh/truth/counts SQL pieces as the WNP audit.
+def _sql_meta_blocking_wep_quality() -> str:
+    return f"""
+    WITH mb AS ({_sql_multi_blocking()}),
+    tot AS (SELECT count(*) AS n_e, sum(n_rules) AS sw FROM mb),
+    {_SQL_QUALITY_SH}, t AS (
+        SELECT (mb.n_rules * tot.n_e >= tot.sw) AS kept,
+               {_SQL_EDGE_TRUTH}
+                   AS is_true
+        FROM mb, tot
+        JOIN sh ga ON ga.doc_id = mb.id_a
+        JOIN sh gb ON gb.doc_id = mb.id_b
+    ), {_SQL_QUALITY_TAIL}
+"""
+
+
 def meta_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audit that justifies (or vetoes) meta-blocking: over the
     UNPRUNED multi-pass blocking graph, flag every edge kept-vs-dropped
@@ -1368,9 +1408,23 @@ def meta_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts are exact bigints; the two ratios are single divisions of
     exact ints, so DuckDB reproduces them bit-for-bit."""
     from .operators.blocking import weighted_node_prune
-    from .operators.dedup import char_ngram_set
     mb = multi_blocking_pairs(spark, sf_dir).localCheckpoint(eager=False)
-    flagged = weighted_node_prune(mb, weight_col="n_rules", emit_all=True)
+    flagged = (weighted_node_prune(mb, weight_col="n_rules",
+                                   emit_all=True)
+               .select("id_a", "id_b",
+                       (F.col("retained_by") > 0).alias("kept")))
+    return _pruning_quality_of(spark, sf_dir, flagged)
+
+
+def _pruning_quality_of(spark: SparkSession, sf_dir: str,
+                        flagged: DataFrame) -> DataFrame:
+    """Shared tail of the two pruning-quality audits (WNP + WEP):
+    attach the per-doc gram arrays to the kept-flagged edge stream,
+    evaluate the exact-Jaccard truth predicate, aggregate to the one
+    counts row.  ONE definition so the two audits cannot grade
+    different truth semantics (SQL twin: _SQL_QUALITY_SH /
+    _SQL_EDGE_TRUTH / _SQL_QUALITY_TAIL)."""
+    from .operators.dedup import char_ngram_set
     docs = _read(spark, sf_dir, "documents")
     grams = docs.select(F.col("doc_id").cast("bigint").alias("gid"),
                         char_ngram_set(F.col("text"), 5).alias("g"))
@@ -1384,9 +1438,8 @@ def meta_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_true = ((F.size("ga") * 100 >= 80 * F.size("gb"))
                & (F.size("gb") * 100 >= 80 * F.size("ga"))
                & (inter * 100 >= 80 * union))
-    kept = F.col("retained_by") > 0
     t = (flagged.join(ga, "id_a").join(gb, "id_b")
-         .select(kept.alias("kept"), is_true.alias("is_true")))
+         .select("kept", is_true.alias("is_true")))
     agg = t.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
         F.coalesce(F.sum(F.when(F.col("kept"), 1).otherwise(0)), F.lit(0))
@@ -1407,33 +1460,22 @@ def meta_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.lit(1.0)).alias("truth_retention"))
 
 
-# Oracle: the blocking union + WNP flags re-derived as in
-# _sql_meta_blocking (without the survivor filter), truth as the
-# neardup oracle's Jaccard predicate restricted to blocking candidates,
-# then the four exact counts and two guarded divisions.
-def _sql_meta_blocking_quality() -> str:
-    return f"""
-    WITH mb AS ({_sql_multi_blocking()}),
-    {_SQL_WNP_STATS}, sh AS (
+# Shared pieces of the two pruning-quality oracles (WNP + WEP): the
+# per-doc 5-gram CTE, the truth predicate over a candidate edge, and
+# the counts/ratios tail — ONE definition each so the two audits
+# cannot grade different truth semantics.
+_SQL_QUALITY_SH = """sh AS (
         SELECT doc_id,
                list_sort(list_distinct(
                    [text[i:i+4] FOR i IN
                     range(1, greatest(length(text) - 4, 1) + 1)])) AS g
         FROM documents
-    ), t AS (
-        SELECT ({_WNP_KEEP_A}
-                OR {_WNP_KEEP_B}) AS kept,
-               (len(ga.g) * 100 >= 80 * len(gb.g)
+    )"""
+_SQL_EDGE_TRUTH = """(len(ga.g) * 100 >= 80 * len(gb.g)
                 AND len(gb.g) * 100 >= 80 * len(ga.g)
                 AND len(list_intersect(ga.g, gb.g)) * 100
-                    >= 80 * len(list_distinct(list_concat(ga.g, gb.g))))
-                   AS is_true
-        FROM mb
-        JOIN stats sa ON sa.node = mb.id_a
-        JOIN stats sb ON sb.node = mb.id_b
-        JOIN sh ga ON ga.doc_id = mb.id_a
-        JOIN sh gb ON gb.doc_id = mb.id_b
-    ), agg AS (
+                    >= 80 * len(list_distinct(list_concat(ga.g, gb.g))))"""
+_SQL_QUALITY_TAIL = """agg AS (
         SELECT CAST(count(*) AS BIGINT) AS n_candidates,
                CAST(coalesce(sum(CASE WHEN kept THEN 1 ELSE 0 END), 0)
                     AS BIGINT) AS n_kept,
@@ -1450,7 +1492,27 @@ def _sql_meta_blocking_quality() -> str:
            CASE WHEN n_truth > 0
                 THEN CAST(n_truth_kept AS DOUBLE) / n_truth
                 ELSE 1.0 END AS truth_retention
-    FROM agg
+    FROM agg"""
+
+
+# Oracle: the blocking union + WNP flags re-derived as in
+# _sql_meta_blocking (without the survivor filter), truth as the
+# neardup oracle's Jaccard predicate restricted to blocking candidates,
+# then the four exact counts and two guarded divisions.
+def _sql_meta_blocking_quality() -> str:
+    return f"""
+    WITH mb AS ({_sql_multi_blocking()}),
+    {_SQL_WNP_STATS}, {_SQL_QUALITY_SH}, t AS (
+        SELECT ({_WNP_KEEP_A}
+                OR {_WNP_KEEP_B}) AS kept,
+               {_SQL_EDGE_TRUTH}
+                   AS is_true
+        FROM mb
+        JOIN stats sa ON sa.node = mb.id_a
+        JOIN stats sb ON sb.node = mb.id_b
+        JOIN sh ga ON ga.doc_id = mb.id_a
+        JOIN sh gb ON gb.doc_id = mb.id_b
+    ), {_SQL_QUALITY_TAIL}
 """
 
 
@@ -4516,6 +4578,7 @@ def build_queries():
         "multi_blocking_pairs": multi_blocking_pairs,
         "meta_blocking_pairs": meta_blocking_pairs,
         "meta_blocking_wep_pairs": meta_blocking_wep_pairs,
+        "meta_blocking_wep_quality": meta_blocking_wep_quality,
         "meta_blocking_quality": meta_blocking_quality,
         "block_size_profile": block_size_profile,
         "fs_waterfall_documents": fs_waterfall_documents,
@@ -4556,6 +4619,7 @@ def build_oracle_sql():
         "multi_blocking_pairs": _sql_multi_blocking(),
         "meta_blocking_pairs": _sql_meta_blocking(),
         "meta_blocking_wep_pairs": _sql_meta_blocking_wep(),
+        "meta_blocking_wep_quality": _sql_meta_blocking_wep_quality(),
         "meta_blocking_quality": _sql_meta_blocking_quality(),
         "block_size_profile": _sql_block_size_profile(),
         "fs_waterfall_documents": _sql_fs_waterfall(),
