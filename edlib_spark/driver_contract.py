@@ -1674,6 +1674,73 @@ _SQL_DOC_QUALITY = f"""
 """
 
 
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the keyword-extraction /
+    corpus-vocabulary operator a curation pipeline runs for topic
+    filters and index sketches.  INTEGER idf: score = (tf · N) div df
+    — monotone in the classical tf·log(N/df) for fixed tf and exactly
+    reproducible cross-engine (ln is not correctly-rounded IEEE, so a
+    log-based score could flip a rank at the last ulp; an integer
+    ratio cannot).  Ties broken (score DESC, term ASC) — total order.
+    Scale shape: one explode (linear in tokens), tf via one
+    map-side-combined groupBy, df via a second over the tf table
+    (vocabulary-sized), a term-keyed equi-join (AQE broadcasts the
+    vocabulary while it fits; hash-shuffle beyond), N attached as a
+    broadcast 1-row crossJoin, and the top-k window partitions by
+    doc_id — no global window, nothing quadratic."""
+    from .operators.textops import tokens
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tot = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(tot))
+              .withColumn("score", F.expr("tf * _n_docs div df")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"),
+                                             F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("doc_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    "term",
+                    F.col("tf").cast("bigint").alias("tf"),
+                    F.col("df").cast("bigint").alias("df"),
+                    F.col("score").cast("bigint").alias("score")))
+
+
+# TF-IDF oracle: the same tokenization as every token-level oracle
+# (string_split_regex + non-empty filter), tf/df/N re-derived, the
+# identical integer score, and the same (score DESC, term ASC) rank.
+_SQL_TFIDF_TOPTERMS = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text),
+                                                     '\\s+'),
+                                  t -> t <> '')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    tot AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT f.doc_id, f.term, f.tf, d.df,
+               (f.tf * t.n) // d.df AS score
+        FROM tf f JOIN dfreq d USING (term), tot t),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS rnk
+        FROM scored)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rnk AS BIGINT) AS rank,
+           term,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df,
+           CAST(score AS BIGINT) AS score
+    FROM ranked WHERE rnk <= 3
+"""
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for the first 10 vectors.
 
@@ -4535,6 +4602,7 @@ def build_queries():
         "doc_token_stats": doc_token_stats,
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_quality": doc_quality,
+        "doc_tfidf_topterms": doc_tfidf_topterms,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "top_similar_documents": top_similar_documents,
         "query_vs_corpus": query_vs_corpus,
@@ -4632,6 +4700,7 @@ def build_oracle_sql():
         "doc_token_stats": _SQL_DOC_TOKENS,
         "doc_bpe_tokens": _SQL_BPE_TOKENS,
         "doc_quality": _SQL_DOC_QUALITY,
+        "doc_tfidf_topterms": _SQL_TFIDF_TOPTERMS,
         "doc_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "top_similar_documents": _SQL_TOP_SIMILAR,
         "query_vs_corpus": _SQL_QUERY_VS_CORPUS,
